@@ -1,0 +1,88 @@
+"""Throughput benchmark: env-steps/s/chip at 4096 batched envs.
+
+Measures the fully fused program the framework is designed around: one jitted
+`lax.scan` carrying (env_state, rng) through T steps of the wrapped env —
+physics substeps x task logic x randomized autoreset x on-device random
+actions, all in a single XLA program with no host round-trips
+(BASELINE.json "metric"; the reference's equivalent harness is
+/root/reference/po_brax/envs/ant_heavenhell.py:194-205, which leaves the
+action sampling on the host and never recorded a number).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "env_steps/s/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench(env_name: str = "ant_tag", batch: int = 4096, steps: int = 200,
+          repeats: int = 3) -> float:
+    from pobrax_tpu.envs import create
+
+    env = create(env_name, episode_length=1000, batch_size=batch,
+                 auto_reset=True, randomized_autoreset=True)
+    action_size = env.action_size
+
+    def rollout(state, key):
+        def body(carry, _):
+            state, key = carry
+            key, k_act = jax.random.split(key)
+            action = jax.random.uniform(
+                k_act, (batch, action_size), minval=-1.0, maxval=1.0)
+            state = env.step(state, action)
+            return (state, key), None
+
+        (state, key), _ = jax.lax.scan(body, (state, key), None, length=steps)
+        return state, key
+
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(env.reset)(jax.random.split(key, batch))
+    rollout_jit = jax.jit(rollout, donate_argnums=(0,))
+
+    # warmup / compile
+    state, key = rollout_jit(state, key)
+    jax.block_until_ready(state.obs)
+
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, key = rollout_jit(state, key)
+        jax.block_until_ready(state.obs)
+        dt = time.perf_counter() - t0
+        best = max(best, batch * steps / dt)
+    return best
+
+
+def main() -> None:
+    env_name = os.environ.get("BENCH_ENV", "ant_tag")
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    steps = int(os.environ.get("BENCH_STEPS", "200"))
+    n_chips = max(1, len([d for d in jax.devices() if d.platform != "cpu"]) or 1)
+    value = bench(env_name, batch, steps) / n_chips
+    # The reference publishes no numbers (SURVEY.md §6) — vs_baseline is the
+    # ratio to the first recorded value of this same bench, else 1.0.
+    baseline = None
+    if os.path.exists("BENCH_r1.json"):
+        try:
+            with open("BENCH_r1.json") as f:
+                baseline = json.load(f).get("value")
+        except Exception:
+            baseline = None
+    vs = value / baseline if baseline else 1.0
+    print(json.dumps({
+        "metric": f"{env_name} env-steps/s/chip @ {batch} envs",
+        "value": round(value, 1),
+        "unit": "env_steps/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,378 @@
+"""PPO learner, fused with the on-device scan rollout.
+
+The reference delegates training to external brax PPO (SURVEY.md §3.5:
+"these plug into brax's external PPO/SAC"); this module is the framework's
+own learner, built TPU-first:
+
+  * One training epoch = ONE jitted XLA program: `unroll_length` env steps
+    via `lax.scan` (physics + task logic + autoreset fused), GAE, then
+    `num_update_epochs x num_minibatches` clipped-PPO updates via nested
+    `lax.scan` — no host round-trips inside an epoch.
+  * Data parallelism is sharding, not code: the env-state batch and rollout
+    data carry a `NamedSharding(mesh, P('data'))` layout; parameters are
+    replicated. XLA inserts the gradient all-reduce (psum over ICI) at the
+    minibatch boundary automatically. Single-device training is the same
+    program on a 1-device mesh.
+  * Observation normalization (running mean/std) and advantage
+    normalization, matching standard brax-PPO practice.
+
+Quality-of-life parity targets: the `train(...)` signature mirrors the brax
+v0 PPO entry point the reference's envs were consumed by (num_timesteps,
+num_envs, unroll_length, minibatches, epochs, learning_rate, entropy_cost,
+discounting, gae_lambda, clipping_epsilon, reward_scaling).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pobrax_tpu.envs.base import Env, State
+from pobrax_tpu.models import networks
+from pobrax_tpu.training import running_statistics
+from pobrax_tpu.training.distribution import NormalTanhDistribution
+
+
+@struct.dataclass
+class PPOParams:
+    policy: Any
+    value: Any
+
+
+@struct.dataclass
+class TrainingState:
+    params: PPOParams
+    opt_state: Any
+    normalizer: running_statistics.RunningStatisticsState
+    env_steps: jnp.ndarray
+
+
+@struct.dataclass
+class Transition:
+    """One slice of rollout data, time-major (T, B, ...)."""
+
+    obs: jnp.ndarray
+    action: jnp.ndarray  # pre-tanh sample
+    log_prob: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    truncation: jnp.ndarray
+    value: jnp.ndarray
+
+
+def compute_gae(
+    rewards: jnp.ndarray,
+    dones: jnp.ndarray,
+    truncation: jnp.ndarray,
+    values: jnp.ndarray,
+    bootstrap_value: jnp.ndarray,
+    discount: float,
+    gae_lambda: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Generalized advantage estimation over a (T, B) rollout.
+
+    `done` ends the episode (no bootstrap across it) EXCEPT where
+    `truncation` is set, where the episode was cut by the step budget and the
+    value bootstrap must survive (EpisodeWrapper semantics).
+    """
+    values_tp1 = jnp.concatenate([values[1:], bootstrap_value[None]], axis=0)
+    # where truncated: treat as non-terminal for bootstrapping
+    termination = dones * (1.0 - truncation)
+
+    def body(carry, xs):
+        gae = carry
+        reward, term, v, v_tp1 = xs
+        delta = reward + discount * (1.0 - term) * v_tp1 - v
+        gae = delta + discount * gae_lambda * (1.0 - term) * gae
+        return gae, gae
+
+    _, advantages = jax.lax.scan(
+        body,
+        jnp.zeros_like(bootstrap_value),
+        (rewards, termination, values, values_tp1),
+        reverse=True,
+    )
+    return advantages, advantages + values
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    num_timesteps: int = 1_000_000
+    num_envs: int = 2048
+    episode_length: int = 1000
+    action_repeat: int = 1
+    unroll_length: int = 20
+    num_minibatches: int = 32
+    num_update_epochs: int = 4
+    learning_rate: float = 3e-4
+    entropy_cost: float = 1e-2
+    discounting: float = 0.97
+    gae_lambda: float = 0.95
+    clipping_epsilon: float = 0.3
+    reward_scaling: float = 1.0
+    normalize_observations: bool = True
+    normalize_advantages: bool = True
+    max_grad_norm: Optional[float] = 0.5
+    policy_hidden: Tuple[int, ...] = (32, 32, 32, 32)
+    value_hidden: Tuple[int, ...] = (256, 256, 256, 256, 256)
+
+
+class PPOLearner:
+    """Builds the jitted epoch function for a wrapped (batched) env."""
+
+    def __init__(self, env: Env, cfg: PPOConfig, mesh: Optional[jax.sharding.Mesh] = None):
+        self.env = env
+        self.cfg = cfg
+        self.mesh = mesh
+        self.action_size = env.action_size
+        self.obs_size = env.observation_size
+        self.dist = NormalTanhDistribution(event_size=self.action_size)
+        self.policy_model = networks.make_model(
+            list(cfg.policy_hidden) + [self.dist.param_size], self.obs_size)
+        self.value_model = networks.make_model(
+            list(cfg.value_hidden) + [1], self.obs_size)
+        self.optimizer = self._make_optimizer()
+        self._epoch_fn = self._build_epoch_fn()
+
+    def _make_optimizer(self):
+        tx = optax.adam(learning_rate=self.cfg.learning_rate)
+        if self.cfg.max_grad_norm is not None:
+            tx = optax.chain(optax.clip_by_global_norm(self.cfg.max_grad_norm), tx)
+        return tx
+
+    # ---- init ----------------------------------------------------------------
+
+    def init(self, key: jnp.ndarray) -> TrainingState:
+        kp, kv = jax.random.split(key)
+        params = PPOParams(
+            policy=self.policy_model.init(kp), value=self.value_model.init(kv))
+        return TrainingState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            normalizer=running_statistics.init_state(self.obs_size),
+            env_steps=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+        )
+
+    # ---- policy --------------------------------------------------------------
+
+    def _policy_params_fn(self, params: PPOParams, normalizer, obs: jnp.ndarray):
+        if self.cfg.normalize_observations:
+            obs = running_statistics.normalize(normalizer, obs)
+        return self.policy_model.apply(params.policy, obs)
+
+    def _value_fn(self, params: PPOParams, normalizer, obs: jnp.ndarray):
+        if self.cfg.normalize_observations:
+            obs = running_statistics.normalize(normalizer, obs)
+        return jnp.squeeze(self.value_model.apply(params.value, obs), axis=-1)
+
+    def make_inference_fn(self) -> Callable:
+        """Returns `policy(params_tuple, obs, key) -> action in [-1, 1]`
+        where params_tuple = (normalizer_state, policy_params)."""
+
+        def policy(params_tuple, obs, key, deterministic: bool = False):
+            normalizer, policy_params = params_tuple
+            obs = running_statistics.normalize(normalizer, obs) \
+                if self.cfg.normalize_observations else obs
+            dist_params = self.policy_model.apply(policy_params, obs)
+            if deterministic:
+                return self.dist.mode(dist_params)
+            return self.dist.sample(dist_params, key)
+
+        return policy
+
+    # ---- rollout + loss --------------------------------------------------------
+
+    def _rollout(self, ts: TrainingState, env_state: State, key: jnp.ndarray):
+        def step(carry, _):
+            env_state, key = carry
+            key, k_sample = jax.random.split(key)
+            dist_params = self._policy_params_fn(ts.params, ts.normalizer, env_state.obs)
+            pre_tanh = self.dist.sample_no_postprocess(dist_params, k_sample)
+            log_prob = self.dist.log_prob(dist_params, pre_tanh)
+            action = self.dist.postprocess(pre_tanh)
+            value = self._value_fn(ts.params, ts.normalizer, env_state.obs)
+            nstate = self.env.step(env_state, action)
+            t = Transition(
+                obs=env_state.obs,
+                action=pre_tanh,
+                log_prob=log_prob,
+                reward=nstate.reward * self.cfg.reward_scaling,
+                done=nstate.done,
+                truncation=nstate.info.get("truncation", jnp.zeros_like(nstate.done)),
+                value=value,
+            )
+            return (nstate, key), t
+
+        (env_state, _), data = jax.lax.scan(
+            step, (env_state, key), None, length=self.cfg.unroll_length)
+        bootstrap_value = self._value_fn(ts.params, ts.normalizer, env_state.obs)
+        return env_state, data, bootstrap_value
+
+    def _loss(self, params: PPOParams, normalizer, data: Transition,
+              advantages: jnp.ndarray, returns: jnp.ndarray, key: jnp.ndarray):
+        cfg = self.cfg
+        dist_params = self._policy_params_fn(params, normalizer, data.obs)
+        log_prob = self.dist.log_prob(dist_params, data.action)
+        ratio = jnp.exp(log_prob - data.log_prob)
+        if cfg.normalize_advantages:
+            advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        unclipped = ratio * advantages
+        clipped = jnp.clip(
+            ratio, 1.0 - cfg.clipping_epsilon, 1.0 + cfg.clipping_epsilon) * advantages
+        policy_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
+
+        value = self._value_fn(params, normalizer, data.obs)
+        value_loss = 0.5 * jnp.mean(jnp.square(returns - value))
+
+        entropy = jnp.mean(self.dist.entropy(dist_params, key))
+        entropy_loss = -cfg.entropy_cost * entropy
+
+        total = policy_loss + value_loss + entropy_loss
+        return total, {
+            "total_loss": total,
+            "policy_loss": policy_loss,
+            "value_loss": value_loss,
+            "entropy": entropy,
+        }
+
+    # ---- the fused epoch -------------------------------------------------------
+
+    def _build_epoch_fn(self):
+        cfg = self.cfg
+        grad_fn = jax.value_and_grad(self._loss, has_aux=True)
+
+        def minibatch_step(carry, xs):
+            params, opt_state, normalizer, key = carry
+            data, advantages, returns = xs
+            key, k_loss = jax.random.split(key)
+            (_, metrics), grads = grad_fn(
+                params, normalizer, data, advantages, returns, k_loss)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, normalizer, key), metrics
+
+        def epoch(ts: TrainingState, env_state: State, key: jnp.ndarray):
+            key, k_roll, k_sgd = jax.random.split(key, 3)
+            env_state, data, bootstrap_value = self._rollout(ts, env_state, k_roll)
+            advantages, returns = compute_gae(
+                data.reward, data.done, data.truncation, data.value,
+                bootstrap_value, cfg.discounting, cfg.gae_lambda)
+            advantages = jax.lax.stop_gradient(advantages)
+            returns = jax.lax.stop_gradient(returns)
+
+            normalizer = ts.normalizer
+            if cfg.normalize_observations:
+                normalizer = running_statistics.update(normalizer, data.obs)
+
+            payload = (data, advantages, returns)
+
+            def sgd_epoch(carry, _):
+                params, opt_state, normalizer, key = carry
+                key, k_perm, k_mb = jax.random.split(key, 3)
+
+                # flatten (T, B) -> (T*B,), shuffle, split into minibatches
+                def shape_mb(x):
+                    x = x.reshape((-1,) + x.shape[2:])
+                    x = jax.random.permutation(k_perm, x)
+                    return x.reshape((cfg.num_minibatches, -1) + x.shape[1:])
+
+                carry2, metrics = jax.lax.scan(
+                    minibatch_step,
+                    (params, opt_state, normalizer, k_mb),
+                    jax.tree.map(shape_mb, payload),
+                )
+                params, opt_state, normalizer, _ = carry2
+                return (params, opt_state, normalizer, key), metrics
+
+            (params, opt_state, normalizer, _), metrics = jax.lax.scan(
+                sgd_epoch,
+                (ts.params, ts.opt_state, normalizer, k_sgd),
+                None,
+                length=cfg.num_update_epochs,
+            )
+            steps_per_epoch = cfg.unroll_length * cfg.num_envs * cfg.action_repeat
+            ts = TrainingState(
+                params=params,
+                opt_state=opt_state,
+                normalizer=normalizer,
+                env_steps=ts.env_steps + steps_per_epoch,
+            )
+            mean_metrics = jax.tree.map(jnp.mean, metrics)
+            mean_metrics["mean_reward"] = jnp.mean(data.reward) / cfg.reward_scaling
+            return ts, env_state, mean_metrics
+
+        return epoch
+
+    def jit_epoch(self):
+        """Jit the epoch; if a mesh was given, shard the env batch on 'data'
+        and replicate everything else (XLA then emits the gradient psum)."""
+        if self.mesh is None:
+            return jax.jit(self._epoch_fn, donate_argnums=(0, 1))
+        P = jax.sharding.PartitionSpec
+        data_sharding = jax.sharding.NamedSharding(self.mesh, P("data"))
+        replicated = jax.sharding.NamedSharding(self.mesh, P())
+        return jax.jit(
+            self._epoch_fn,
+            in_shardings=(replicated, data_sharding, replicated),
+            out_shardings=(replicated, data_sharding, replicated),
+            donate_argnums=(0, 1),
+        )
+
+
+def train(
+    env: Env,
+    cfg: Optional[PPOConfig] = None,
+    seed: int = 0,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    progress_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    **cfg_overrides,
+):
+    """Train PPO on a *core* env (unwrapped); builds the fused wrapper stack.
+
+    Returns (inference_fn, params_tuple, metrics_history).
+    """
+    from pobrax_tpu.envs import wrappers  # local import to avoid cycles
+
+    cfg = dataclasses.replace(cfg or PPOConfig(), **cfg_overrides)
+    wrapped = wrappers.ActionRepeatWrapper(env, cfg.action_repeat)
+    wrapped = wrappers.EpisodeWrapper(wrapped, cfg.episode_length, 1)
+    wrapped = wrappers.VmapWrapper(wrapped, batch_size=cfg.num_envs)
+    wrapped = wrappers.RandomizedAutoResetWrapperNaive(wrapped)
+
+    learner = PPOLearner(wrapped, cfg, mesh=mesh)
+    key = jax.random.PRNGKey(seed)
+    key, k_init, k_reset = jax.random.split(key, 3)
+    ts = learner.init(k_init)
+    env_keys = jax.random.split(k_reset, cfg.num_envs)
+    env_state = jax.jit(wrapped.reset)(env_keys)
+    if mesh is not None:
+        P = jax.sharding.PartitionSpec
+        env_state = jax.device_put(
+            env_state, jax.sharding.NamedSharding(mesh, P("data")))
+        ts = jax.device_put(ts, jax.sharding.NamedSharding(mesh, P()))
+
+    epoch_fn = learner.jit_epoch()
+    steps_per_epoch = cfg.unroll_length * cfg.num_envs * cfg.action_repeat
+    num_epochs = max(1, cfg.num_timesteps // steps_per_epoch)
+    history = []
+    t0 = time.perf_counter()
+    for i in range(num_epochs):
+        key, k_epoch = jax.random.split(key)
+        ts, env_state, metrics = epoch_fn(ts, env_state, k_epoch)
+        if progress_fn is not None:
+            metrics = jax.tree.map(float, jax.device_get(metrics))
+            metrics["steps_per_second"] = (
+                (i + 1) * steps_per_epoch / (time.perf_counter() - t0))
+            history.append(metrics)
+            progress_fn((i + 1) * steps_per_epoch, metrics)
+
+    inference_fn = learner.make_inference_fn()
+    params_tuple = (ts.normalizer, ts.params.policy)
+    return inference_fn, params_tuple, history

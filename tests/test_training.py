@@ -1,0 +1,137 @@
+"""Training-layer tests: networks, distribution, GAE, PPO epoch, sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pobrax_tpu.models import networks
+from pobrax_tpu.training import ppo, running_statistics
+from pobrax_tpu.training.distribution import NormalTanhDistribution
+
+
+def test_make_models_shapes():
+    policy, value = networks.make_models(policy_params_size=16, obs_size=27)
+    kp, kv = jax.random.split(jax.random.PRNGKey(0))
+    pp = policy.init(kp)
+    vp = value.init(kv)
+    obs = jnp.zeros((5, 27))
+    assert policy.apply(pp, obs).shape == (5, 16)
+    assert value.apply(vp, obs).shape == (5, 1)
+    # reference sizes: policy [32,32,32,32,P], value [256x5,1]
+    assert pp["params"]["hidden_0"]["kernel"].shape == (27, 32)
+    assert pp["params"]["hidden_4"]["kernel"].shape == (32, 16)
+    assert vp["params"]["hidden_0"]["kernel"].shape == (27, 256)
+    assert vp["params"]["hidden_5"]["kernel"].shape == (256, 1)
+
+
+def test_snmlp_two_rng_streams():
+    model = networks.make_model([8, 4], obs_size=6, spectral_norm=True)
+    r1, r2 = jax.random.split(jax.random.PRNGKey(1))
+    params = model.init(r1, r2)
+    assert "sing_vec" in params
+    obs = jnp.ones((3, 6))
+    out, updated = model.apply(
+        params, obs, mutable=["sing_vec"], rngs={"sing_vec": r2})
+    assert out.shape == (3, 4)
+    # spectral norm bounds the top singular value of each layer near 1
+    kernel = params["params"]["hidden_0"]["kernel"]
+    u = updated["sing_vec"]["hidden_0"]["u"]
+    assert u.shape == (1, 8)
+
+
+def test_distribution_roundtrip_and_logprob():
+    dist = NormalTanhDistribution(event_size=4)
+    params = jnp.concatenate([jnp.zeros((2, 4)), jnp.zeros((2, 4))], axis=-1)
+    key = jax.random.PRNGKey(0)
+    pre = dist.sample_no_postprocess(params, key)
+    act = dist.postprocess(pre)
+    assert act.shape == (2, 4)
+    assert jnp.all(jnp.abs(act) <= 1.0)
+    lp = dist.log_prob(params, pre)
+    assert lp.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(lp)))
+    # mode of a zero-loc distribution is 0
+    np.testing.assert_allclose(dist.mode(params), jnp.zeros((2, 4)), atol=1e-7)
+
+
+def test_running_statistics_matches_numpy():
+    state = running_statistics.init_state(3)
+    rng = np.random.RandomState(0)
+    all_data = []
+    for _ in range(4):
+        batch = rng.randn(16, 3).astype(np.float32) * 2.0 + 1.0
+        all_data.append(batch)
+        state = running_statistics.update(state, jnp.asarray(batch))
+    full = np.concatenate(all_data)
+    np.testing.assert_allclose(state.mean, full.mean(0), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(state.std, full.std(0), rtol=1e-3, atol=1e-4)
+    normed = running_statistics.normalize(state, jnp.asarray(full))
+    assert abs(float(normed.mean())) < 1e-3
+
+
+def test_gae_no_termination_matches_closed_form():
+    # constant reward 1, no dones, value 0 => advantage is a geometric series
+    T, B = 5, 2
+    rewards = jnp.ones((T, B))
+    dones = jnp.zeros((T, B))
+    trunc = jnp.zeros((T, B))
+    values = jnp.zeros((T, B))
+    bootstrap = jnp.zeros((B,))
+    gamma, lam = 0.9, 0.8
+    adv, ret = ppo.compute_gae(rewards, dones, trunc, values, bootstrap, gamma, lam)
+    # delta_t = 1 everywhere; adv_t = sum_{k} (gamma*lam)^k
+    expected_last = 1.0
+    np.testing.assert_allclose(adv[-1], expected_last, rtol=1e-6)
+    expected_first = sum((gamma * lam) ** k for k in range(T))
+    np.testing.assert_allclose(adv[0], expected_first, rtol=1e-5)
+    np.testing.assert_allclose(ret, adv + values, rtol=1e-6)
+
+
+def test_gae_truncation_bootstraps_through_done():
+    # one env, done at t=1 via truncation: the value AFTER it still bootstraps
+    T = 3
+    rewards = jnp.zeros((T, 1))
+    dones = jnp.array([[0.0], [1.0], [0.0]])
+    trunc = jnp.array([[0.0], [1.0], [0.0]])
+    values = jnp.ones((T, 1))
+    bootstrap = jnp.ones((1,))
+    adv_trunc, _ = ppo.compute_gae(rewards, dones, trunc, values, bootstrap, 0.9, 1.0)
+    adv_term, _ = ppo.compute_gae(
+        rewards, dones, jnp.zeros((T, 1)), values, bootstrap, 0.9, 1.0)
+    # terminal done kills the bootstrap -> more negative advantage at t=1
+    assert float(adv_term[1, 0]) < float(adv_trunc[1, 0])
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_ppo_epoch_runs_and_updates(use_mesh):
+    from pobrax_tpu.envs.ant import Ant
+    from pobrax_tpu.parallel import make_mesh
+
+    mesh = make_mesh() if use_mesh else None
+    env = Ant()
+    inf_fn, params, hist = ppo.train(
+        env, num_timesteps=256, num_envs=8, episode_length=16,
+        unroll_length=4, num_minibatches=2, num_update_epochs=1,
+        mesh=mesh, seed=0,
+        progress_fn=lambda s, m: None)
+    obs = jnp.zeros((2, env.observation_size))
+    act = inf_fn(params, obs, jax.random.PRNGKey(0))
+    assert act.shape == (2, env.action_size)
+    assert bool(jnp.all(jnp.abs(act) <= 1.0))
+
+
+def test_ppo_deterministic_given_seed():
+    from pobrax_tpu.envs.ant import Ant
+
+    outs = []
+    for _ in range(2):
+        env = Ant()
+        _, params, _ = ppo.train(
+            env, num_timesteps=64, num_envs=4, episode_length=8,
+            unroll_length=4, num_minibatches=2, num_update_epochs=1, seed=3)
+        outs.append(params)
+    a = jax.tree.leaves(outs[0][1])
+    b = jax.tree.leaves(outs[1][1])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
