@@ -23,15 +23,28 @@ from pobrax_tpu.envs.ant_gather import AntGatherEnv
 from pobrax_tpu.envs.ant_heavenhell import AntHeavenHellEnv
 from pobrax_tpu.envs.ant_tag import AntTagEnv
 from pobrax_tpu.envs.base import Env, State, Wrapper
+from pobrax_tpu.envs.fast import Fast
 from pobrax_tpu.envs.masked import MaskedObservationWrapper
+from pobrax_tpu.envs.pendulum import InvertedDoublePendulum, InvertedPendulum
+from pobrax_tpu.envs.planar import Halfcheetah, Hopper, Walker2d
+from pobrax_tpu.envs.reacher import Reacher, ReacherAngle
 
 HAI_ACTION_REPEAT = 6
 
+# mirrors the reference registry (/root/reference/po_brax/envs/__init__.py:29-47)
 _envs = {
     "ant": Ant,
     "ant_tag": AntTagEnv,
     "ant_heavenhell": AntHeavenHellEnv,
     "ant_gather": AntGatherEnv,
+    "fast": Fast,
+    "halfcheetah": Halfcheetah,
+    "hopper": Hopper,
+    "inverted_pendulum": InvertedPendulum,
+    "inverted_double_pendulum": InvertedDoublePendulum,
+    "reacher": Reacher,
+    "reacherangle": ReacherAngle,
+    "walker2d": Walker2d,
 }
 
 

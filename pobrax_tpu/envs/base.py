@@ -68,7 +68,7 @@ class Env(abc.ABC):
 
     @property
     def action_size(self) -> int:
-        return len(self._cfg.actuators)
+        return self.sys.action_size
 
     @property
     def unwrapped(self) -> "Env":

@@ -35,6 +35,13 @@ class Bodies:
         # active = 1.0 for dynamic bodies, 0.0 for frozen — multiplied into every update
         self.active = (~frozen).astype(np.float32)[:, None]  # (n, 1) broadcast over xyz
 
+        # per-axis masks: 1.0 where the component may update (planar models
+        # freeze y-translation + x/z-rotation; frozen=True freezes all)
+        fpos = np.array([b.frozen_position for b in cfg.bodies], np.float32)
+        frot = np.array([b.frozen_rotation for b in cfg.bodies], np.float32)
+        self.active_pos = self.active * (1.0 - np.clip(fpos, 0.0, 1.0))  # (n, 3)
+        self.active_rot = self.active * (1.0 - np.clip(frot, 0.0, 1.0))  # (n, 3)
+
         inv_mass = np.where(frozen, 0.0, 1.0 / self.mass).astype(np.float32)
         inv_inertia = np.where(frozen[:, None], 0.0, 1.0 / self.inertia).astype(np.float32)
         self.inv_mass = inv_mass  # (n,)

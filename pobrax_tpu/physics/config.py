@@ -69,6 +69,11 @@ class Body:
     mass: float = 1.0
     inertia: Vec3 = (1.0, 1.0, 1.0)
     frozen: bool = False  # frozen.all in the reference (ant_tag.py:18)
+    # per-axis freezing (1.0 = that component never updates), for planar
+    # models (halfcheetah/walker2d: y-translation + x/z-rotation frozen) and
+    # sliding carts; `frozen=True` freezes everything regardless
+    frozen_position: Vec3 = ZERO3
+    frozen_rotation: Vec3 = ZERO3
 
 
 @dataclass(frozen=True)
@@ -109,6 +114,18 @@ class Actuator:
 
 
 @dataclass(frozen=True)
+class Thruster:
+    """A linear force actuator on a body along a fixed world-frame direction
+    (one action dim, appended after all joint-actuator dims). Used by
+    cart-style systems (inverted pendulum family)."""
+
+    name: str
+    body: str
+    strength: float
+    direction: Vec3 = (1.0, 0.0, 0.0)
+
+
+@dataclass(frozen=True)
 class DefaultQP:
     name: str
     pos: Vec3 = ZERO3
@@ -128,7 +145,8 @@ class Config:
     bodies: Tuple[Body, ...] = ()
     joints: Tuple[Joint, ...] = ()
     actuators: Tuple[Actuator, ...] = ()
-    # only these (first, second) body-name pairs collide; empty -> all pairs
+    thrusters: Tuple[Thruster, ...] = ()
+    # only these (first, second) body-name pairs collide; empty -> no contacts
     collide_include: Tuple[Tuple[str, str], ...] = ()
     default_qps: Tuple[DefaultQP, ...] = ()
     default_angles: Tuple[DefaultAngle, ...] = ()
@@ -198,3 +216,6 @@ def validate(cfg: Config) -> None:
     for first, second in cfg.collide_include:
         if first not in name_set or second not in name_set:
             raise ValueError(f"collide_include references unknown body: {(first, second)}")
+    for t in cfg.thrusters:
+        if t.body not in name_set:
+            raise ValueError(f"thruster {t.name} references unknown body {t.body}")

@@ -125,20 +125,11 @@ class Contacts:
 
     @staticmethod
     def _candidate_pairs(cfg: pcfg.Config, bodies: Bodies) -> List[Tuple[int, int]]:
-        if cfg.collide_include:
-            return [(bodies.index[f], bodies.index[s]) for f, s in cfg.collide_include]
-        # default: all pairs except joint-connected and frozen-frozen
-        joined = {tuple(sorted((bodies.index[j.parent], bodies.index[j.child]))) for j in cfg.joints}
-        out = []
-        n = bodies.count
-        for i in range(n):
-            for j in range(i + 1, n):
-                if (i, j) in joined:
-                    continue
-                if bodies.frozen[i] and bodies.frozen[j]:
-                    continue
-                out.append((i, j))
-        return out
+        """Contact pairs come ONLY from collide_include; an empty tuple means
+        no contacts (explicit-pairs convention — collider count is the
+        contact-phase cost driver at large batch, so silence is the safe
+        default; every in-repo model declares its pairs)."""
+        return [(bodies.index[f], bodies.index[s]) for f, s in cfg.collide_include]
 
     def _classify(self, ia, col_a, ib, col_b, pp, ss, cc, cb):
         ga, gb = col_a.geom, col_b.geom

@@ -25,10 +25,12 @@ from pobrax_tpu.physics import config as pcfg
 from pobrax_tpu.physics.bodies import Bodies
 from pobrax_tpu.physics.geometry import Contacts
 from pobrax_tpu.physics.integrator import Integrator
-from pobrax_tpu.physics.joints import RevoluteJoints, _euler_to_quat_np
+from pobrax_tpu.physics.joints import JointGroup, _euler_to_quat_np
 from pobrax_tpu.physics.state import Info, P, QP
 
 _X = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+_Y = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+_Z = jnp.array([0.0, 0.0, 1.0], jnp.float32)
 
 
 class System:
@@ -38,15 +40,27 @@ class System:
         self.body = Bodies(cfg)
         self.num_bodies = self.body.count
 
-        one_dof = tuple(j for j in cfg.joints if len(j.angle_limits) == 1)
-        multi = [j for j in cfg.joints if len(j.angle_limits) != 1]
-        if multi:
-            raise NotImplementedError(
-                f"multi-dof joints not implemented yet: {[j.name for j in multi]}")
-        # grouped by dof class, mirroring sys.joints[i] (reference uses joints[0])
-        self.joints = [RevoluteJoints(cfg, self.body, one_dof)] if one_dof else []
+        # grouped by dof class, mirroring sys.joints[i] (the reference's
+        # all-hinge ant uses joints[0]); global dof ordering is group-major
+        # then joint-major within a group
+        self.joints = []
+        for dof in (1, 2, 3):
+            group = tuple(j for j in cfg.joints if len(j.angle_limits) == dof)
+            if group:
+                self.joints.append(JointGroup(cfg, self.body, group, dof))
         self.num_joints = len(cfg.joints)
         self.num_joint_dof = sum(len(j.angle_limits) for j in cfg.joints)
+        num_act_dof = sum(len(self._joint_by_name(a.joint).angle_limits)
+                          for a in cfg.actuators)
+        # thrusters consume one action dim each, after all joint-actuator dims
+        self.action_size = num_act_dof + len(cfg.thrusters)
+        self._thruster_body = np.array(
+            [self.body.index[t.body] for t in cfg.thrusters], np.int32)
+        self._thruster_dir = np.array(
+            [t.direction for t in cfg.thrusters], np.float32).reshape(-1, 3)
+        self._thruster_strength = np.array(
+            [t.strength for t in cfg.thrusters], np.float32)
+        self._thruster_act0 = num_act_dof
         self.contacts = Contacts(cfg, self.body)
         self.integrator = Integrator(
             dt=cfg.dt,
@@ -60,6 +74,23 @@ class System:
         self._default_pose = self._compile_default_pose(cfg)
 
     # ---- defaults / FK -------------------------------------------------------
+
+    def _joint_by_name(self, name: str) -> pcfg.Joint:
+        for j in self.config.joints:
+            if j.name == name:
+                return j
+        raise KeyError(name)
+
+    def _dof_slice(self, joint_name: str):
+        """(group, slot, start) — where `joint_name`'s dofs live in the
+        global group-major angle vector."""
+        start = 0
+        for g in self.joints:
+            if joint_name in g.names:
+                slot = g.names.index(joint_name)
+                return g, slot, start + slot * g.dof
+            start += g.count * g.dof
+        raise KeyError(joint_name)
 
     @staticmethod
     def _topological_joints(cfg: pcfg.Config):
@@ -113,24 +144,29 @@ class System:
         vel = jnp.zeros((self.num_bodies, 3), jnp.float32)
         ang = jnp.zeros((self.num_bodies, 3), jnp.float32)
 
-        group = self.joints[0] if self.joints else None
-        name_to_slot = {n: i for i, n in enumerate(group.names)} if group else {}
         for j in self._fk_order:
-            slot = name_to_slot[j.name]
-            theta = joint_angle[slot]
-            theta_dot = joint_velocity[slot]
+            group, slot, start = self._dof_slice(j.name)
+            theta = joint_angle[start:start + group.dof]
+            theta_dot = joint_velocity[start:start + group.dof]
             p_i = self.body.index[j.parent]
             c_i = self.body.index[j.child]
             q_j = jnp.asarray(group.q_j[slot])
             q_p = rot[p_i]
-            q_axis = quat.quat_rot_axis(_X, theta)
+            # intrinsic x-y'-z'' composition over the joint's free axes
+            q_axis = quat.quat_rot_axis(_X, theta[0])
+            if group.dof >= 2:
+                q_axis = quat.quat_mul(q_axis, quat.quat_rot_axis(_Y, theta[1]))
+            if group.dof >= 3:
+                q_axis = quat.quat_mul(q_axis, quat.quat_rot_axis(_Z, theta[2]))
             q_c = quat.quat_mul(quat.quat_mul(quat.quat_mul(q_p, q_j), q_axis), quat.quat_inv(q_j))
             off_p = jnp.asarray(group.off_p[slot])
             off_c = jnp.asarray(group.off_c[slot])
             anchor = pos[p_i] + quat.rotate(off_p, q_p)
             c_pos = anchor - quat.rotate(off_c, q_c)
-            axis_world = quat.rotate(_X, quat.quat_mul(q_p, q_j))
-            c_ang = ang[p_i] + axis_world * theta_dot
+            q_pj = quat.quat_mul(q_p, q_j)
+            c_ang = ang[p_i]
+            for d, ax in zip(range(group.dof), (_X, _Y, _Z)):
+                c_ang = c_ang + quat.rotate(ax, q_pj) * theta_dot[d]
             c_vel = vel[p_i] + jnp.cross(ang[p_i], anchor - pos[p_i]) + jnp.cross(c_ang, c_pos - anchor)
             pos = pos.at[c_i].set(c_pos)
             rot = rot.at[c_i].set(q_c)
@@ -157,6 +193,14 @@ class System:
             for g in self.joints:
                 dp_j = dp_j + g.apply(qp, self.body)
                 dp_a = dp_a + g.apply_actuators(qp, act, self.body)
+            if len(self._thruster_body):
+                a = act[self._thruster_act0:self._thruster_act0 + len(self._thruster_body)]
+                force = (self._thruster_strength * jnp.clip(a, -1.0, 1.0))[:, None] \
+                    * self._thruster_dir
+                dvel = jnp.zeros((self.num_bodies, 3), qp.pos.dtype).at[
+                    self._thruster_body].add(
+                    force * self.body.inv_mass[self._thruster_body, None])
+                dp_a = dp_a + P(vel=dvel, ang=jnp.zeros((self.num_bodies, 3), qp.pos.dtype))
             qp = self.integrator.potential(qp, dp_j + dp_a, self.body)
             qp = self.integrator.kinetic(qp, self.body)
             dp_c = self.contacts.apply(qp, self.body)
