@@ -24,10 +24,14 @@ from pobrax_tpu.envs.ant_heavenhell import AntHeavenHellEnv
 from pobrax_tpu.envs.ant_tag import AntTagEnv
 from pobrax_tpu.envs.base import Env, State, Wrapper
 from pobrax_tpu.envs.fast import Fast
+from pobrax_tpu.envs.fetch import Fetch
+from pobrax_tpu.envs.grasp import Grasp
+from pobrax_tpu.envs.humanoid import Humanoid, HumanoidStandup
 from pobrax_tpu.envs.masked import MaskedObservationWrapper
 from pobrax_tpu.envs.pendulum import InvertedDoublePendulum, InvertedPendulum
 from pobrax_tpu.envs.planar import Halfcheetah, Hopper, Walker2d
 from pobrax_tpu.envs.reacher import Reacher, ReacherAngle
+from pobrax_tpu.envs.ur5e import Ur5e
 
 HAI_ACTION_REPEAT = 6
 
@@ -38,12 +42,17 @@ _envs = {
     "ant_heavenhell": AntHeavenHellEnv,
     "ant_gather": AntGatherEnv,
     "fast": Fast,
+    "fetch": Fetch,
+    "grasp": Grasp,
     "halfcheetah": Halfcheetah,
     "hopper": Hopper,
+    "humanoid": Humanoid,
+    "humanoidstandup": HumanoidStandup,
     "inverted_pendulum": InvertedPendulum,
     "inverted_double_pendulum": InvertedDoublePendulum,
     "reacher": Reacher,
     "reacherangle": ReacherAngle,
+    "ur5e": Ur5e,
     "walker2d": Walker2d,
 }
 

@@ -167,6 +167,8 @@ class Contacts:
             e0b, e1b = _capsule_ends(col_b)
             cc.append((ia, e0a, e1a, ga.radius, ib, e0b, e1b, gb.radius))
             return
+        if isinstance(ga, pcfg.Capsule) and isinstance(gb, pcfg.Sphere):
+            return self._classify(ib, col_b, ia, col_a, pp, ss, cc, cb)
         if isinstance(ga, pcfg.Sphere) and isinstance(gb, pcfg.Capsule):
             # sphere as zero-length capsule
             c = np.asarray(col_a.position, np.float32)

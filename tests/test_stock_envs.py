@@ -10,13 +10,18 @@ from pobrax_tpu.envs import _envs, masks
 # (/root/reference/po_brax/standard_observability_masks.py)
 OBS_SIZES = {
     "fast": 2,
+    "fetch": 101,
+    "grasp": 132,
     "halfcheetah": 23,
     "hopper": 14,
-    "walker2d": 20,
+    "humanoid": 299,
+    "humanoidstandup": 299,
     "inverted_pendulum": 10,
     "inverted_double_pendulum": 25,
     "reacher": 11,
     "reacherangle": 11,
+    "ur5e": 66,
+    "walker2d": 20,
 }
 
 PLANAR = ("halfcheetah", "hopper", "walker2d",
