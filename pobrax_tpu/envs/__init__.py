@@ -21,6 +21,7 @@ from pobrax_tpu.envs import wrappers
 from pobrax_tpu.envs.ant import Ant
 from pobrax_tpu.envs.ant_gather import AntGatherEnv
 from pobrax_tpu.envs.ant_heavenhell import AntHeavenHellEnv
+from pobrax_tpu.envs.ant_maze import AntMazeEnv
 from pobrax_tpu.envs.ant_tag import AntTagEnv
 from pobrax_tpu.envs.base import Env, State, Wrapper
 from pobrax_tpu.envs.fast import Fast
@@ -41,6 +42,8 @@ _envs = {
     "ant_tag": AntTagEnv,
     "ant_heavenhell": AntHeavenHellEnv,
     "ant_gather": AntGatherEnv,
+    # working AntMaze (the reference's is unconstructible — SURVEY.md §2.8)
+    "ant_maze": AntMazeEnv,
     "fast": Fast,
     "fetch": Fetch,
     "grasp": Grasp,
