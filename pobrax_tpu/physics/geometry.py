@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -351,6 +352,11 @@ def _point_box_sdf(p, h, radius):
 
     Returns (normal pointing out of the box toward the sphere, penetration,
     contact point on/in the box surface); all batched (K, ...).
+
+    TPU note: the inside-the-box branch selects the nearest face with one-hot
+    arithmetic (compare-against-argmin) instead of take_along_axis /
+    scatter-set — gather/scatter on a length-3 axis serializes terribly on
+    the VPU, one-hot multiply-add fuses.
     """
     q = jnp.clip(p, -h, h)
     delta = p - q
@@ -362,11 +368,14 @@ def _point_box_sdf(p, h, radius):
     # center inside the box: push out through the nearest face
     face_dist = h - jnp.abs(p)  # (K, 3) distance to each face
     k = jnp.argmin(face_dist, axis=-1)
-    sign = jnp.sign(jnp.take_along_axis(p, k[:, None], axis=-1))[:, 0]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) == k[:, None]) \
+        .astype(p.dtype)  # (K, 3)
+    sign = jnp.sign(jnp.sum(p * onehot, axis=-1))
     sign = jnp.where(sign == 0.0, 1.0, sign)
-    n_in = jnp.zeros_like(p).at[jnp.arange(p.shape[0]), k].set(sign)
-    pen_in = radius + jnp.take_along_axis(face_dist, k[:, None], axis=-1)[:, 0]
-    q_in = p.at[jnp.arange(p.shape[0]), k].set(sign * jnp.take_along_axis(h * jnp.ones_like(p), k[:, None], axis=-1)[:, 0])
+    n_in = sign[:, None] * onehot
+    pen_in = radius + jnp.min(face_dist, axis=-1)
+    h_k = jnp.sum(jnp.broadcast_to(h, p.shape) * onehot, axis=-1)
+    q_in = p * (1.0 - onehot) + (sign * h_k)[:, None] * onehot
 
     normal = jnp.where(outside[:, None], n_out, n_in)
     pen = jnp.where(outside, pen_out, pen_in)

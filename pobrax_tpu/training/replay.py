@@ -1,0 +1,56 @@
+"""Device-resident ring replay buffer.
+
+A pure-pytree uniform replay buffer: storage lives on device as
+(capacity, ...) arrays inside the training state, inserts are dynamic-slice
+writes, sampling is a gather by random indices — everything jit/scan-safe,
+no host round-trips. Sharding: with storage laid out (capacity, batch, ...)
+and `batch` sharded on the mesh 'data' axis, each shard owns its own envs'
+history (insert/sample are per-column), so SAC scales like PPO.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class ReplayState:
+    data: Any  # pytree of (capacity, ...) arrays
+    insert_pos: jnp.ndarray  # scalar int32: next write slot
+    size: jnp.ndarray  # scalar int32: valid entries
+
+
+def init(sample: Any, capacity: int) -> ReplayState:
+    """Allocate storage shaped (capacity, *leaf.shape) from one sample."""
+    data = jax.tree.map(
+        lambda x: jnp.zeros((capacity,) + jnp.shape(x), jnp.asarray(x).dtype),
+        sample)
+    return ReplayState(
+        data=data,
+        insert_pos=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+def insert(state: ReplayState, sample: Any) -> ReplayState:
+    """Write one slot (sample may be batched along its own trailing dims)."""
+    capacity = jax.tree.leaves(state.data)[0].shape[0]
+    data = jax.tree.map(
+        lambda buf, x: jax.lax.dynamic_update_index_in_dim(
+            buf, jnp.asarray(x, buf.dtype), state.insert_pos, 0),
+        state.data, sample)
+    return ReplayState(
+        data=data,
+        insert_pos=(state.insert_pos + 1) % capacity,
+        size=jnp.minimum(state.size + 1, capacity),
+    )
+
+
+def sample(state: ReplayState, key: jnp.ndarray, batch: int) -> Any:
+    """Uniform sample of `batch` slots (with replacement)."""
+    idx = jax.random.randint(key, (batch,), 0, jnp.maximum(state.size, 1))
+    return jax.tree.map(lambda buf: buf[idx], state.data)
