@@ -72,6 +72,18 @@ class System:
         # topological order of joints for FK + config default poses
         self._fk_order = self._topological_joints(cfg)
         self._default_pose = self._compile_default_pose(cfg)
+        # the scalar-unrolled fast path trades a big (slow-to-compile) graph
+        # for dense VPU kernels — a clear win on TPU, a compile-time tax on
+        # the CPU test path. Default: on for TPU, off elsewhere;
+        # POBRAX_FUSED=1/0 overrides.
+        import os
+        flag = os.environ.get("POBRAX_FUSED")
+        use_fused = (jax.default_backend() != "cpu") if flag is None else flag == "1"
+        if use_fused:
+            from pobrax_tpu.physics import fused
+            self._fused_step = fused.make_fused_step(self)
+        else:
+            self._fused_step = None
 
     # ---- defaults / FK -------------------------------------------------------
 
@@ -184,7 +196,18 @@ class System:
         return Info(contact=dp_c, joint=zero, actuator=zero)
 
     def step(self, qp: QP, act: jnp.ndarray) -> Tuple[QP, Info]:
-        """`substeps` spring-dynamics substeps; returns (qp', accumulated Info)."""
+        """`substeps` spring-dynamics substeps; returns (qp', accumulated Info).
+
+        Dispatches to the scalar-unrolled fast path (physics/fused.py) when
+        the system fits its envelope (1-dof joints, torque actuators — the
+        whole ant family); the vectorized generic path otherwise, and always
+        via `step_generic` for cross-validation."""
+        if self._fused_step is not None:
+            return self._fused_step(qp, act)
+        return self.step_generic(qp, act)
+
+    def step_generic(self, qp: QP, act: jnp.ndarray) -> Tuple[QP, Info]:
+        """The reference vectorized implementation of `step`."""
 
         def substep(carry, _):
             qp, info = carry

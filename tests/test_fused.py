@@ -1,0 +1,110 @@
+"""Fused (scalar-unrolled) physics path vs the generic vectorized path.
+
+The fused path is the TPU fast path (physics/fused.py); on CPU it is gated
+off by default for compile time, so these tests force it on via
+POBRAX_FUSED on a system small enough to compile quickly and cross-validate
+numerics against step_generic.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pobrax_tpu.physics import config as c
+from pobrax_tpu.physics import system as psys
+from pobrax_tpu.physics.state import QP
+
+
+def _mini_system():
+    cfg = c.Config(
+        bodies=(
+            c.Body(name="a", colliders=(c.Collider(geom=c.Sphere(0.2)),), mass=1.0),
+            c.Body(name="b",
+                   colliders=(c.Collider(geom=c.Capsule(radius=0.1, length=0.4)),),
+                   mass=1.5),
+            c.Body(name="wall",
+                   colliders=(c.Collider(geom=c.Box(halfsize=(0.2, 1.0, 0.5)),
+                                         position=(1.0, 0.0, 0.5)),),
+                   frozen=True),
+            c.Body(name="G", colliders=(c.Collider(geom=c.Plane()),), frozen=True),
+        ),
+        joints=(c.Joint(name="j", parent="a", child="b", stiffness=5000.0,
+                        parent_offset=(0.1, 0.0, 0.0), child_offset=(0.0, 0.0, 0.2),
+                        angle_limits=(c.AngleLimit(-45.0, 45.0),),
+                        angular_damping=20.0),),
+        actuators=(c.Actuator(name="j", joint="j", strength=50.0),),
+        thrusters=(c.Thruster(name="t", body="a", strength=10.0,
+                              direction=(1.0, 0.0, 0.0)),),
+        collide_include=(("a", "G"), ("b", "G"), ("a", "b"),
+                         ("a", "wall"), ("b", "wall")),
+        default_qps=(c.DefaultQP(name="a", pos=(0.6, 0.0, 0.5)),),
+        dt=0.05, substeps=10,
+    )
+    os.environ["POBRAX_FUSED"] = "1"
+    try:
+        sys_ = psys.System(cfg)
+    finally:
+        del os.environ["POBRAX_FUSED"]
+    return sys_
+
+
+def test_fused_builds_and_matches_generic():
+    sys_ = _mini_system()
+    assert sys_._fused_step is not None
+    qp = sys_.default_qp()
+    act = jnp.array([0.3, -0.5])
+    q1, i1 = jax.jit(sys_.step_generic)(qp, act)
+    q2, i2 = jax.jit(sys_._fused_step)(qp, act)
+    # float32 reassociation across stiff contact impulses: ~1e-4 absolute on
+    # O(10) velocities is round-off, not divergence
+    np.testing.assert_allclose(np.asarray(q1.pos), np.asarray(q2.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q1.rot), np.asarray(q2.rot), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q1.vel), np.asarray(q2.vel), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(q1.ang), np.asarray(q2.ang), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(i1.contact.vel),
+                               np.asarray(i2.contact.vel), atol=1e-3)
+
+
+def test_fused_matches_generic_over_rollout():
+    sys_ = _mini_system()
+    qp = sys_.default_qp()
+
+    def roll(step_fn, qp):
+        def body(q, t):
+            q, _ = step_fn(q, jnp.stack([jnp.sin(0.1 * t), jnp.cos(0.1 * t)]))
+            return q, q.pos
+        return jax.lax.scan(body, qp, jnp.arange(20, dtype=jnp.float32))
+
+    _, p1 = jax.jit(lambda q: roll(sys_.step_generic, q))(qp)
+    _, p2 = jax.jit(lambda q: roll(sys_._fused_step, q))(qp)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=2e-3)
+
+
+def test_fused_vmaps():
+    sys_ = _mini_system()
+    B = 4
+    qp = sys_.default_qp()
+    qps = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), qp)
+    acts = jnp.zeros((B, 2))
+    q, info = jax.jit(jax.vmap(sys_._fused_step))(qps, acts)
+    assert q.pos.shape == (B, 4, 3)
+    single, _ = jax.jit(sys_._fused_step)(qp, acts[0])
+    np.testing.assert_allclose(np.asarray(q.pos[1]), np.asarray(single.pos), atol=1e-6)
+
+
+def test_fused_envelope_rejections():
+    from pobrax_tpu.physics import fused
+    # multi-dof joints fall back to the generic path
+    cfg = c.Config(
+        bodies=(c.Body(name="a"), c.Body(name="b")),
+        joints=(c.Joint(name="j", parent="a", child="b",
+                        angle_limits=(c.AngleLimit(-10, 10), c.AngleLimit(-10, 10))),),
+    )
+    os.environ["POBRAX_FUSED"] = "1"
+    try:
+        assert psys.System(cfg)._fused_step is None
+    finally:
+        del os.environ["POBRAX_FUSED"]
