@@ -24,10 +24,18 @@ import jax.numpy as jnp
 
 def bench(env_name: str = "ant_tag", batch: int = 4096, steps: int = 200,
           repeats: int = 3) -> float:
-    from pobrax_tpu.envs import create
+    from pobrax_tpu.envs import create, MaskedObservationWrapper
 
+    # "masked_<name>" runs the PO-masked variant of a stock env
+    # (BASELINE.json config 4: obs-mask fusion at 4096 envs)
+    hidden = None
+    if env_name.startswith("masked_"):
+        env_name = env_name[len("masked_"):]
+        hidden = ("VELOCITY",)
     env = create(env_name, episode_length=1000, batch_size=batch,
                  auto_reset=True, randomized_autoreset=True)
+    if hidden is not None:
+        env = MaskedObservationWrapper(env, env_name=env_name, hidden=hidden)
     action_size = env.action_size
 
     def rollout(state, key):
