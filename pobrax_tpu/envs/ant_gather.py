@@ -190,3 +190,42 @@ class AntGatherEnv(Env):
     def _get_obs(self, qp: QP, info: Info, distances: jnp.ndarray) -> jnp.ndarray:
         return jnp.concatenate(
             ant_full_obs(self.sys, qp, info) + [self._get_readings(qp, distances)])
+
+
+if __name__ == "__main__":
+    # per-module smoke (reference keeps one in every env module, e.g.
+    # ant_tag.py:184-202): 200 random-action steps through the full wrapper
+    # stack, fully on-device
+    import time
+
+    import jax
+
+    from pobrax_tpu.envs import create
+
+    env = create("ant_gather", episode_length=1000, batch_size=16,
+                 randomized_autoreset=True)
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(env.reset)(jax.random.split(key, 16))
+
+    def rollout(state, key, steps=200):
+        def body(carry, _):
+            state, key = carry
+            key, k = jax.random.split(key)
+            action = jax.random.uniform(
+                k, (16, env.action_size), minval=-1.0, maxval=1.0)
+            state = env.step(state, action)
+            return (state, key), state.reward
+
+        return jax.lax.scan(body, (state, key), None, length=steps)
+
+    rollout = jax.jit(rollout)
+    t0 = time.perf_counter()
+    (state, _), rewards = rollout(state, key)
+    jax.block_until_ready(rewards)
+    print(f"compile+run: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    (state, _), rewards = rollout(state, key)
+    jax.block_until_ready(rewards)
+    dt = time.perf_counter() - t0
+    print(f"16x200 steps in {dt:.3f}s ({16 * 200 / dt:,.0f} env-steps/s); "
+          f"mean reward {float(rewards.mean()):+.4f}")
