@@ -18,6 +18,7 @@ import functools
 from typing import Callable, Optional
 
 from pobrax_tpu.envs import wrappers
+from pobrax_tpu.envs.acrobot import Acrobot
 from pobrax_tpu.envs.ant import Ant
 from pobrax_tpu.envs.ant_gather import AntGatherEnv
 from pobrax_tpu.envs.ant_heavenhell import AntHeavenHellEnv
@@ -38,6 +39,8 @@ HAI_ACTION_REPEAT = 6
 
 # mirrors the reference registry (/root/reference/po_brax/envs/__init__.py:29-47)
 _envs = {
+    # backs the mask tables' 'acrobot' entry (no env exists in the reference)
+    "acrobot": Acrobot,
     "ant": Ant,
     "ant_tag": AntTagEnv,
     "ant_heavenhell": AntHeavenHellEnv,
