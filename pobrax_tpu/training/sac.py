@@ -71,9 +71,10 @@ class SACLearner:
         self.dist = NormalTanhDistribution(event_size=self.action_size)
         self.policy_model = networks.make_model(
             list(cfg.hidden) + [self.dist.param_size], self.obs_size)
-        # twin Q: input (obs, action) -> 2 values via two heads
+        # twin Q: two INDEPENDENT critics (stacked params, vmapped apply) —
+        # a shared trunk would make the min() clipping near-vacuous
         self.q_module = networks.MLP(
-            layer_sizes=list(cfg.hidden) + [2], activation=jax.nn.relu)
+            layer_sizes=list(cfg.hidden) + [1], activation=jax.nn.relu)
         self.policy_opt = optax.adam(cfg.learning_rate)
         self.q_opt = optax.adam(cfg.learning_rate)
         self.alpha_opt = optax.adam(cfg.learning_rate)
@@ -85,7 +86,8 @@ class SACLearner:
         kp, kq = jax.random.split(key)
         policy = self.policy_model.init(kp)
         dummy = jnp.zeros((1, self.obs_size + self.action_size))
-        q = self.q_module.init(kq, dummy)
+        q = jax.vmap(lambda k: self.q_module.init(k, dummy))(
+            jax.random.split(kq, 2))  # stacked twin-critic params
         # target starts equal to q but must be a distinct buffer (donation
         # would otherwise see the same array twice)
         params = SACParams(
@@ -118,7 +120,9 @@ class SACLearner:
 
     def _q_values(self, q_params, normalizer, obs, action):
         x = jnp.concatenate([self._norm(normalizer, obs), action], axis=-1)
-        return self.q_module.apply(q_params, x)  # (..., 2)
+        # apply both critics; (..., 2) with the ensemble axis last
+        out = jax.vmap(lambda p: self.q_module.apply(p, x))(q_params)
+        return jnp.moveaxis(jnp.squeeze(out, -1), 0, -1)
 
     def _policy_dist(self, policy_params, normalizer, obs):
         return self.policy_model.apply(policy_params, self._norm(normalizer, obs))
