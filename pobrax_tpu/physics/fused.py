@@ -159,6 +159,15 @@ def make_fused_step(sys) -> Optional[callable]:
     thr_k = [float(v) for v in sys._thruster_strength]
     thr0 = sys._thruster_act0
 
+    # fully frozen bodies: rotation is STATIC (the integrator never touches
+    # it and teleports only move positions) and velocities are identically
+    # zero. Folding them to Python-float constants lets the whole quaternion
+    # chain for wall/plane frames constant-fold at trace time — the dominant
+    # per-row cost for wall-heavy scenes.
+    frozen = [bool(f) for f in body.frozen]
+    default_rot = [tuple(float(v) for v in sys._default_pose[1][i]) for i in range(n)]
+    _ZERO3F = (0.0, 0.0, 0.0)
+
     def step(qp: QP, act: jnp.ndarray) -> Tuple[QP, Info]:
         # ---- scalar pack/unpack helpers ---------------------------------------
         def unpack(arr, k):
@@ -175,19 +184,33 @@ def make_fused_step(sys) -> Optional[callable]:
             """All contact rows -> per-body (dvel, dang) scalar accumulators."""
             dvel, dang = zero3(), zero3()
 
+            def rot_of(i):
+                return default_rot[i] if frozen[i] else rot[i]
+
+            def vel_of(i):
+                return _ZERO3F if frozen[i] else vel[i]
+
+            def ang_of(i):
+                return _ZERO3F if frozen[i] else ang[i]
+
             def resolve(a, b, cpos, normal, pen):
                 nonlocal dvel, dang
                 r_a = _sub(cpos, pos[a])
                 r_b = _sub(cpos, pos[b])
-                v_a = _add(vel[a], _cross(ang[a], r_a))
-                v_b = _add(vel[b], _cross(ang[b], r_b))
+                v_a = _add(vel_of(a), _cross(ang_of(a), r_a))
+                v_b = _add(vel_of(b), _cross(ang_of(b), r_b))
                 v_rel = _sub(v_a, v_b)
                 vn = _dot(v_rel, normal)
                 ia, ib = inv_inertia[a], inv_inertia[b]
-                cra = _cross(r_a, normal)
-                crb = _cross(r_b, normal)
-                ang_a = _dot(normal, _cross((ia[0] * cra[0], ia[1] * cra[1], ia[2] * cra[2]), r_a))
-                ang_b = _dot(normal, _cross((ib[0] * crb[0], ib[1] * crb[1], ib[2] * crb[2]), r_b))
+                ang_a = ang_b = 0.0
+                if any(v != 0.0 for v in ia):
+                    cra = _cross(r_a, normal)
+                    ang_a = _dot(normal, _cross(
+                        (ia[0] * cra[0], ia[1] * cra[1], ia[2] * cra[2]), r_a))
+                if any(v != 0.0 for v in ib):
+                    crb = _cross(r_b, normal)
+                    ang_b = _dot(normal, _cross(
+                        (ib[0] * crb[0], ib[1] * crb[1], ib[2] * crb[2]), r_b))
                 denom = inv_mass[a] + inv_mass[b] + ang_a + ang_b
                 denom = jnp.maximum(denom, 1e-8)
                 imp = (-(1.0 + elasticity) * vn + baumgarte * jnp.maximum(pen, 0.0)) / denom
@@ -200,27 +223,31 @@ def make_fused_step(sys) -> Optional[callable]:
                 imp_d = jnp.where(live & (vt_n > 1e-8), imp_d, 0.0)
                 scale_t = imp_d / jnp.maximum(vt_n, 1e-8)
                 j = _sub(_scale(normal, imp), _scale(v_t, scale_t))
-                dvel[a] = _add(dvel[a], _scale(j, inv_mass[a]))
-                dvel[b] = _sub(dvel[b], _scale(j, inv_mass[b]))
-                ta = _cross(r_a, j)
-                tb = _cross(r_b, _scale(j, -1.0))
-                dang[a] = _add(dang[a], (ia[0] * ta[0], ia[1] * ta[1], ia[2] * ta[2]))
-                dang[b] = _add(dang[b], (ib[0] * tb[0], ib[1] * tb[1], ib[2] * tb[2]))
+                # static guards: frozen bodies take no impulse, skip the ops
+                if inv_mass[a] != 0.0:
+                    dvel[a] = _add(dvel[a], _scale(j, inv_mass[a]))
+                    ta = _cross(r_a, j)
+                    dang[a] = _add(dang[a], (ia[0] * ta[0], ia[1] * ta[1], ia[2] * ta[2]))
+                if inv_mass[b] != 0.0:
+                    dvel[b] = _sub(dvel[b], _scale(j, inv_mass[b]))
+                    tb = _cross(r_b, _scale(j, -1.0))
+                    dang[b] = _add(dang[b], (ib[0] * tb[0], ib[1] * tb[1], ib[2] * tb[2]))
 
             for r in pp_rows:
                 a, b = r["a"], r["b"]
-                p_w = _add(pos[a], _qrot(tuple(r["point"]), rot[a]))
-                prot = _qmul(rot[b], tuple(r["plane_quat"]))
+                p_w = _add(pos[a], _qrot(tuple(r["point"]), rot_of(a)))
+                # frozen plane body => normal/plane offset fold to constants
+                prot = _qmul(rot_of(b), tuple(r["plane_quat"]))
                 normal = _qrot((0.0, 0.0, 1.0), prot)
-                plane_pt = _add(pos[b], _qrot(tuple(r["plane_pos"]), rot[b]))
+                plane_pt = _add(pos[b], _qrot(tuple(r["plane_pos"]), rot_of(b)))
                 pen = r["radius"] - _dot(_sub(p_w, plane_pt), normal)
                 cpos = _sub(p_w, _scale(normal, r["radius"]))
                 resolve(a, b, cpos, normal, pen)
 
             for r in ss_rows:
                 a, b = r["a"], r["b"]
-                ca = _add(pos[a], _qrot(tuple(r["pa"]), rot[a]))
-                cb = _add(pos[b], _qrot(tuple(r["pb"]), rot[b]))
+                ca = _add(pos[a], _qrot(tuple(r["pa"]), rot_of(a)))
+                cb = _add(pos[b], _qrot(tuple(r["pb"]), rot_of(b)))
                 d = _sub(ca, cb)
                 dist = _norm(d)
                 normal = _scale(d, 1.0 / jnp.maximum(dist, 1e-8))
@@ -230,10 +257,10 @@ def make_fused_step(sys) -> Optional[callable]:
 
             for r in cc_rows:
                 a, b = r["a"], r["b"]
-                p1 = _add(pos[a], _qrot(tuple(r["e0a"]), rot[a]))
-                q1 = _add(pos[a], _qrot(tuple(r["e1a"]), rot[a]))
-                p2 = _add(pos[b], _qrot(tuple(r["e0b"]), rot[b]))
-                q2 = _add(pos[b], _qrot(tuple(r["e1b"]), rot[b]))
+                p1 = _add(pos[a], _qrot(tuple(r["e0a"]), rot_of(a)))
+                q1 = _add(pos[a], _qrot(tuple(r["e1a"]), rot_of(a)))
+                p2 = _add(pos[b], _qrot(tuple(r["e0b"]), rot_of(b)))
+                q2 = _add(pos[b], _qrot(tuple(r["e1b"]), rot_of(b)))
                 d1, d2, rr = _sub(q1, p1), _sub(q2, p2), _sub(p1, p2)
                 a_ = _dot(d1, d1)
                 e_ = _dot(d2, d2)
@@ -258,11 +285,12 @@ def make_fused_step(sys) -> Optional[callable]:
 
             for r in cb_rows:
                 a, b = r["a"], r["b"]
-                box_rot = _qmul(rot[b], tuple(r["box_quat"]))
-                box_pos = _add(pos[b], _qrot(tuple(r["box_pos"]), rot[b]))
+                # frozen box body => box frame quaternions fold to constants
+                box_rot = _qmul(rot_of(b), tuple(r["box_quat"]))
+                box_pos = _add(pos[b], _qrot(tuple(r["box_pos"]), rot_of(b)))
                 inv = _qinv(box_rot)
-                e0 = _add(pos[a], _qrot(tuple(r["e0"]), rot[a]))
-                e1 = _add(pos[a], _qrot(tuple(r["e1"]), rot[a]))
+                e0 = _add(pos[a], _qrot(tuple(r["e0"]), rot_of(a)))
+                e1 = _add(pos[a], _qrot(tuple(r["e1"]), rot_of(a)))
                 s0 = _qrot(_sub(e0, box_pos), inv)
                 s1 = _qrot(_sub(e1, box_pos), inv)
                 d = _sub(s1, s0)
