@@ -15,6 +15,7 @@ spreads the env batch over a device mesh.
 
 __version__ = "0.1.0"
 
-from pobrax_tpu import envs, models, ops, parallel, physics, training, utils
+from pobrax_tpu import envs, io, models, ops, parallel, physics, training, utils
 
-__all__ = ["envs", "models", "ops", "parallel", "physics", "training", "utils", "__version__"]
+__all__ = ["envs", "io", "models", "ops", "parallel", "physics", "training",
+           "utils", "__version__"]
