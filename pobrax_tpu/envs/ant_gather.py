@@ -176,15 +176,16 @@ class AntGatherEnv(Env):
         object_bins = object_bins.at[jnp.arange(self.n_apples, self.n_objects)].set(bomb_bins)
         object_intensities = jnp.where(
             object_bins >= 0, 1.0 - (distances / self.sensor_range), jnp.float32(0))
-        # sequential writes in object order: deterministic last-writer-wins,
-        # and bin -1 wraps to the last slot (reference :177-178 semantics);
-        # the wrap is made explicit since traced scatter modes differ on
-        # negative indices
+        # last-writer-wins in object order, bin -1 wrapping to the last slot
+        # (reference :177-178 semantics). Written as one-hot selects rather
+        # than dynamic scatters — a dynamic .at[i].set per object serializes
+        # on TPU; compare-and-select fuses into one VPU kernel.
         n_slots = self.n_bins * 2
         slots = jnp.where(object_bins < 0, object_bins + n_slots, object_bins)
+        slot_ids = jnp.arange(n_slots)
         readings = jnp.zeros(n_slots)
         for i in range(self.n_objects):
-            readings = readings.at[slots[i]].set(object_intensities[i])
+            readings = jnp.where(slot_ids == slots[i], object_intensities[i], readings)
         return readings
 
     def _get_obs(self, qp: QP, info: Info, distances: jnp.ndarray) -> jnp.ndarray:

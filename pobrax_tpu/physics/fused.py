@@ -12,11 +12,11 @@ time. Under `vmap` every op becomes one (B,)-elementwise op — XLA fuses the
 whole substep into a few dense VPU kernels with 100% lane utilization, no
 gather/scatter at all.
 
-Supported systems (everything the ant-family suite uses): 1-dof revolute
-joint groups, torque actuators, thrusters, point-plane / sphere-sphere /
-capsule-capsule / capsule-box contacts. Systems outside this envelope
-(multi-dof joints, angle actuators) keep the generic path —
-`make_fused_step` returns None and System falls back.
+Covers the full engine feature set: 1/2/3-dof spring joints, torque and
+angle (position-servo) actuators, thrusters, per-axis frozen masks, and
+point-plane / sphere-sphere / capsule-capsule / capsule-box contacts —
+every env in the registry runs fused. Frozen-body rotations and velocities
+fold to trace-time constants (teleports only ever move positions).
 
 Numerics match the generic path to float32 round-off (summation order
 differs); the test suite cross-validates the two.
@@ -29,7 +29,6 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from pobrax_tpu.physics import config as pcfg
 from pobrax_tpu.physics.state import Info, P, QP
 
 # ---- scalar quaternion/vector helpers (tuples of 0-d values) -------------------
@@ -96,15 +95,26 @@ def _norm(a):
 # ---- the compiler ---------------------------------------------------------------
 
 
-def make_fused_step(sys) -> Optional[callable]:
-    """Build a scalar-unrolled `step(qp, act) -> (qp, Info)` for `sys`, or
-    None when the system needs features outside the fused envelope."""
-    cfg: pcfg.Config = sys.config
-    if any(len(j.angle_limits) != 1 for j in cfg.joints):
-        return None
-    if any(a.kind != "torque" for a in cfg.actuators):
-        return None
+def _euler_xyz(q):
+    """Scalar intrinsic x-y'-z'' Euler decomposition of a quaternion tuple
+    (matches joints.py::euler_xyz_from_quat)."""
+    w, x, y, z = q
+    m02 = 2.0 * (x * z + w * y)
+    m12 = 2.0 * (y * z - w * x)
+    m22 = 1.0 - 2.0 * (x * x + y * y)
+    m01 = 2.0 * (x * y - w * z)
+    m00 = 1.0 - 2.0 * (y * y + z * z)
+    a = jnp.arctan2(-m12, m22)
+    b = jnp.arcsin(jnp.clip(m02, -1.0, 1.0))
+    c = jnp.arctan2(-m01, m00)
+    return (a, b, c)
 
+
+_JOINT_AXES = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+
+
+def make_fused_step(sys) -> Optional[callable]:
+    """Build a scalar-unrolled `step(qp, act) -> (qp, Info)` for `sys`."""
     n = sys.num_bodies
     body = sys.body
     groups = sys.joints
@@ -127,15 +137,18 @@ def make_fused_step(sys) -> Optional[callable]:
     for g in groups:
         for j in range(g.count):
             joints.append(dict(
+                dof=g.dof,
                 parent=int(g.parent[j]), child=int(g.child[j]),
                 off_p=tuple(float(v) for v in g.off_p[j]),
                 off_c=tuple(float(v) for v in g.off_c[j]),
                 q_j=tuple(float(v) for v in g.q_j[j]),
-                lim=(float(g.limit[j, 0, 0]), float(g.limit[j, 0, 1])),
+                lim=[(float(g.limit[j, d, 0]), float(g.limit[j, d, 1]))
+                     for d in range(g.dof)],
                 k=float(g.stiffness[j]), kd=float(g.spring_damping[j]),
                 klim=float(g.limit_strength[j]),
                 kang=float(g.angular_damping[j]),
                 act_idx=int(g.act_idx[j]), act_k=float(g.act_strength[j]),
+                act_kind=int(g.act_kind[j]),
             ))
 
     # contact tables
@@ -341,13 +354,17 @@ def make_fused_step(sys) -> Optional[callable]:
             fvel, fang = zero3(), zero3()  # joint+limit spring accels
             avel, aang = zero3(), zero3()  # actuator accels
 
+            def frozen_rot(i):
+                return default_rot[i] if frozen[i] else rot[i]
+
             for jt in joints:
                 p_i, c_i = jt["parent"], jt["child"]
-                q_p, q_c = rot[p_i], rot[c_i]
+                dof = jt["dof"]
+                q_p, q_c = frozen_rot(p_i), frozen_rot(c_i)
                 q_pj = _qmul(q_p, jt["q_j"])
                 q_cj = _qmul(q_c, jt["q_j"])
                 q_d = _qmul(_qinv(q_pj), q_cj)
-                axis = _qrot((1.0, 0.0, 0.0), q_pj)
+                axes = [_qrot(_JOINT_AXES[d], q_pj) for d in range(dof)]
 
                 r_p = _qrot(jt["off_p"], q_p)
                 r_c = _qrot(jt["off_c"], q_c)
@@ -360,14 +377,24 @@ def make_fused_step(sys) -> Optional[callable]:
                 dv = _sub(vel_ap, vel_ac)
                 force_c = tuple(jt["k"] * d[c] + jt["kd"] * dv[c] for c in range(3))
 
-                # alignment torque: rotation vector of q_d, x zeroed
+                # alignment torque: rotation vector of q_d, free axes zeroed
                 sgn_w = jnp.where(q_d[0] >= 0.0, 1.0, -1.0)
-                err = (jnp.zeros_like(q_d[0]), 2.0 * sgn_w * q_d[2], 2.0 * sgn_w * q_d[3])
-                t_align = _scale(_qrot(err, q_pj), -jt["k"])
+                rv = (2.0 * sgn_w * q_d[1], 2.0 * sgn_w * q_d[2], 2.0 * sgn_w * q_d[3])
+                err = tuple(0.0 if c < dof else rv[c] for c in range(3))
+                t_align = _scale(_qrot(err, q_pj), -jt["k"]) if dof < 3 \
+                    else (0.0, 0.0, 0.0)
 
-                angle = 2.0 * jnp.arctan2(q_d[1], q_d[0])
-                clipped = jnp.clip(angle, jt["lim"][0], jt["lim"][1])
-                t_limit = _scale(axis, jt["klim"] * (clipped - angle))
+                # per-dof angles (hinge fast path for dof 1)
+                if dof == 1:
+                    angles = (2.0 * jnp.arctan2(q_d[1], q_d[0]),)
+                else:
+                    angles = _euler_xyz(q_d)[:dof]
+                t_limit = (0.0, 0.0, 0.0)
+                for dd in range(dof):
+                    lo, hi = jt["lim"][dd]
+                    clipped = jnp.clip(angles[dd], lo, hi)
+                    t_limit = _add(t_limit, _scale(
+                        axes[dd], jt["klim"] * (clipped - angles[dd])))
 
                 rel_ang = _sub(ang[c_i], ang[p_i])
                 t_damp = _scale(rel_ang, -jt["kang"])
@@ -383,8 +410,15 @@ def make_fused_step(sys) -> Optional[callable]:
                 fang[p_i] = _add(fang[p_i], (ip[0] * tq_p[0], ip[1] * tq_p[1], ip[2] * tq_p[2]))
 
                 if jt["act_idx"] >= 0:
-                    a_val = jnp.clip(act[jt["act_idx"]], -1.0, 1.0) * jt["act_k"]
-                    t_act = _scale(axis, a_val)
+                    t_act = (0.0, 0.0, 0.0)
+                    for dd in range(dof):
+                        a_in = act[jt["act_idx"] + dd]
+                        if jt["act_kind"] == 1:  # angle servo
+                            tau = jnp.clip(25.0 * (a_in - angles[dd]),
+                                           -jt["act_k"], jt["act_k"])
+                        else:  # torque
+                            tau = jnp.clip(a_in, -1.0, 1.0) * jt["act_k"]
+                        t_act = _add(t_act, _scale(axes[dd], tau))
                     aang[c_i] = _add(aang[c_i], (ic[0] * t_act[0], ic[1] * t_act[1], ic[2] * t_act[2]))
                     aang[p_i] = _sub(aang[p_i], (ip[0] * t_act[0], ip[1] * t_act[1], ip[2] * t_act[2]))
 

@@ -95,16 +95,42 @@ def test_fused_vmaps():
     np.testing.assert_allclose(np.asarray(q.pos[1]), np.asarray(single.pos), atol=1e-6)
 
 
-def test_fused_envelope_rejections():
-    from pobrax_tpu.physics import fused
-    # multi-dof joints fall back to the generic path
+def test_fused_multidof_and_servo_match_generic():
+    """2-dof joint + angle actuator: fused matches the generic path."""
     cfg = c.Config(
-        bodies=(c.Body(name="a"), c.Body(name="b")),
-        joints=(c.Joint(name="j", parent="a", child="b",
-                        angle_limits=(c.AngleLimit(-10, 10), c.AngleLimit(-10, 10))),),
+        bodies=(
+            c.Body(name="root", frozen=True),
+            c.Body(name="a", colliders=(
+                c.Collider(geom=c.Capsule(radius=0.05, length=0.4)),), mass=1.0),
+            c.Body(name="b", colliders=(
+                c.Collider(geom=c.Capsule(radius=0.05, length=0.4)),), mass=1.0),
+        ),
+        joints=(
+            c.Joint(name="u", parent="root", child="a",
+                    stiffness=4000.0, spring_damping=126.0, angular_damping=5.0,
+                    parent_offset=(0.0, 0.0, 0.0), child_offset=(0.0, 0.0, 0.2),
+                    angle_limits=(c.AngleLimit(-40, 40), c.AngleLimit(-30, 30))),
+            c.Joint(name="h", parent="a", child="b",
+                    stiffness=4000.0, spring_damping=126.0, angular_damping=5.0,
+                    parent_offset=(0.0, 0.0, -0.2), child_offset=(0.0, 0.0, 0.2),
+                    angle_limits=(c.AngleLimit(-60, 10),)),
+        ),
+        actuators=(c.Actuator(name="u", joint="u", strength=20.0, kind="angle"),
+                   c.Actuator(name="h", joint="h", strength=20.0)),
+        default_qps=(c.DefaultQP(name="root", pos=(0.0, 0.0, 1.5)),),
+        dt=0.04, substeps=10,
     )
     os.environ["POBRAX_FUSED"] = "1"
     try:
-        assert psys.System(cfg)._fused_step is None
+        sys_ = psys.System(cfg)
     finally:
         del os.environ["POBRAX_FUSED"]
+    assert sys_._fused_step is not None
+    qp = sys_.default_qp()
+    act = jnp.array([0.2, -0.1, 0.4])  # 2 servo dims + 1 torque dim
+    q1, _ = jax.jit(sys_.step_generic)(qp, act)
+    q2, _ = jax.jit(sys_._fused_step)(qp, act)
+    np.testing.assert_allclose(np.asarray(q1.pos), np.asarray(q2.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q1.rot), np.asarray(q2.rot), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q1.vel), np.asarray(q2.vel), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(q1.ang), np.asarray(q2.ang), atol=1e-3)
