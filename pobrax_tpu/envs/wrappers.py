@@ -130,6 +130,24 @@ def _zero_steps_where_done(state: State) -> State:
     return state
 
 
+def _split_info_rng(state: State):
+    """Split each env's info['rng'] into (carried key, consumable key).
+
+    The reference reuses info['rng'] verbatim for every autoreset
+    (wrappers.py:42) and relies on the env's step to advance it — which only
+    the adversary/teleport envs do; for the rest its 'randomized' reset
+    resamples one fixed state forever. Splitting here delivers the comment's
+    stated intent ('to do rng properly', reference wrappers.py:13) for every
+    env."""
+    rng = state.info["rng"]
+    if rng.ndim > 1:
+        split = jax.vmap(lambda r: jax.random.split(r, 2))(rng)
+        keep, use = split[:, 0], split[:, 1]
+    else:
+        keep, use = jax.random.split(rng)
+    return state.replace(info={**state.info, "rng": keep}), use
+
+
 class RandomizedAutoResetWrapperNaive(Wrapper):
     """Resample a fresh initial state every step; one extra reset per step
     (reference wrappers.py:30-52)."""
@@ -138,7 +156,8 @@ class RandomizedAutoResetWrapperNaive(Wrapper):
         state = _zero_steps_where_done(state)
         state = state.replace(done=jnp.zeros_like(state.done))
         state = self.env.step(state, action)
-        maybe_reset = self.reset(state.info["rng"])
+        state, reset_rng = _split_info_rng(state)
+        maybe_reset = self.reset(reset_rng)
         qp = jax.tree.map(lambda x, y: where_done(state.done, x, y), maybe_reset.qp, state.qp)
         obs = where_done(state.done, maybe_reset.obs, state.obs)
         return state.replace(qp=qp, obs=obs)
@@ -152,8 +171,9 @@ class RandomizedAutoResetWrapperOnTerminal(Wrapper):
         state = _zero_steps_where_done(state)
         state = state.replace(done=jnp.zeros_like(state.done))
         state = self.env.step(state, action)
+        state, reset_rng = _split_info_rng(state)
         maybe_reset = jax.lax.cond(
-            state.done.any(), self.reset, lambda rng: state, state.info["rng"])
+            state.done.any(), self.reset, lambda rng: state, reset_rng)
         qp = jax.tree.map(lambda x, y: where_done(state.done, x, y), maybe_reset.qp, state.qp)
         obs = where_done(state.done, maybe_reset.obs, state.obs)
         return state.replace(qp=qp, obs=obs)

@@ -72,8 +72,10 @@ _PAGE = """<!DOCTYPE html>
           font-family: monospace; font-size: 13px; z-index: 2; }}
   #bar {{ position: absolute; bottom: 12px; left: 5%; width: 90%; z-index: 2; }}
 </style>
-<script src="https://cdn.jsdelivr.net/npm/three@0.160.0/build/three.min.js"></script>
-<script src="https://cdn.jsdelivr.net/npm/three@0.160.0/examples/js/controls/OrbitControls.js"></script>
+<!-- r147: the last release shipping UMD build/three.min.js and
+     examples/js/controls (both were removed by r148-r160) -->
+<script src="https://cdn.jsdelivr.net/npm/three@0.147.0/build/three.min.js"></script>
+<script src="https://cdn.jsdelivr.net/npm/three@0.147.0/examples/js/controls/OrbitControls.js"></script>
 </head>
 <body>
 <div id="info"></div>

@@ -24,13 +24,18 @@ import jax
 import jax.numpy as jnp
 
 
-def ping(timeout_note: str = "") -> int:
-    """All-reduce a 1 across every device; returns global device count.
-    Hangs if any participant is dead — run under a Watchdog deadline."""
-    out = jax.jit(lambda x: jnp.sum(x))(
-        jnp.ones((jax.local_device_count(),), jnp.int32))
-    total = int(jax.device_get(out)) * jax.process_count()
-    return total
+def ping() -> int:
+    """Cross-process all-gather of each host's device count; returns the
+    global device count. This is a REAL collective (process_allgather), so
+    it blocks until every process participates — a dead host turns into a
+    hang, which the Watchdog's deadline converts into a loud failure.
+    Single-process: returns the local device count immediately."""
+    local = jnp.asarray([jax.local_device_count()], jnp.int32)
+    if jax.process_count() == 1:
+        return int(local[0])
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(local)
+    return int(jax.device_get(gathered).sum())
 
 
 class Watchdog:

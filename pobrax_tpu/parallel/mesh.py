@@ -58,16 +58,18 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
 
 
-def initialize_distributed(**kwargs) -> None:
+def initialize_distributed(**kwargs) -> bool:
     """Multi-host runtime bring-up (jax.distributed.initialize).
 
-    No-op when running single-process (the common case in this container);
-    on a pod slice each host calls this before building the global mesh.
-    """
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    MUST run before any JAX computation (backend init) in the process —
+    probing jax.process_count()/jax.devices() first would itself initialize
+    the local backend and make this a guaranteed no-op. Returns True when
+    the distributed runtime came up, False when running single-process
+    (no coordinator configured). Re-raises if the runtime was requested but
+    could not initialize (e.g. called too late)."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process run without coordinator env vars — fine
-        pass
+        return True
+    except ValueError:
+        # no coordinator address given or discoverable: single-process run
+        return False

@@ -31,22 +31,8 @@ from pobrax_tpu.ops import quaternion as quat
 from pobrax_tpu.ops.vector import safe_norm
 from pobrax_tpu.physics import config as pcfg
 from pobrax_tpu.physics.bodies import Bodies
+from pobrax_tpu.physics.joints import _euler_to_quat_np
 from pobrax_tpu.physics.state import P, QP
-
-
-def _euler_to_quat_np(v_deg) -> np.ndarray:
-    half = np.asarray(v_deg, np.float64) * (math.pi / 360.0)
-    c1, c2, c3 = np.cos(half)
-    s1, s2, s3 = np.sin(half)
-    return np.array(
-        [
-            c1 * c2 * c3 - s1 * s2 * s3,
-            s1 * c2 * c3 + c1 * s2 * s3,
-            c1 * s2 * c3 - s1 * c2 * s3,
-            c1 * c2 * s3 + s1 * s2 * c3,
-        ],
-        np.float32,
-    )
 
 
 def _rotate_np(v: np.ndarray, q: np.ndarray) -> np.ndarray:

@@ -51,7 +51,10 @@ class TrainingState:
     params: PPOParams
     opt_state: Any
     normalizer: running_statistics.RunningStatisticsState
-    env_steps: jnp.ndarray
+    # epoch counter, not raw env-steps: an int32 env-step counter overflows
+    # 2^31 within an hour at measured throughput; env-steps are reconstructed
+    # host-side as epochs * steps_per_epoch (resume assumes a stable config)
+    epochs: jnp.ndarray
 
 
 @struct.dataclass
@@ -157,7 +160,7 @@ class PPOLearner:
             params=params,
             opt_state=self.optimizer.init(params),
             normalizer=running_statistics.init_state(self.obs_size),
-            env_steps=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+            epochs=jnp.zeros((), jnp.int32),
         )
 
     # ---- policy --------------------------------------------------------------
@@ -297,12 +300,11 @@ class PPOLearner:
                 None,
                 length=cfg.num_update_epochs,
             )
-            steps_per_epoch = cfg.unroll_length * cfg.num_envs * cfg.action_repeat
             ts = TrainingState(
                 params=params,
                 opt_state=opt_state,
                 normalizer=normalizer,
-                env_steps=ts.env_steps + steps_per_epoch,
+                epochs=ts.epochs + 1,
             )
             mean_metrics = jax.tree.map(jnp.mean, metrics)
             mean_metrics["mean_reward"] = jnp.mean(data.reward) / cfg.reward_scaling
@@ -362,7 +364,10 @@ def train(
         latest = ckpt.latest_step_dir(checkpoint_dir)
         if latest is not None:
             ts = ckpt.restore(latest, template=ts)
-            resumed_steps = int(ts.env_steps)
+            resumed_steps = int(ts.epochs) * cfg.unroll_length * cfg.num_envs \
+                * cfg.action_repeat
+            # continue the PRNG stream instead of replaying the pre-crash one
+            key = jax.random.fold_in(key, int(ts.epochs))
     env_keys = jax.random.split(k_reset, cfg.num_envs)
     env_state = jax.jit(wrapped.reset)(env_keys)
     if mesh is not None:
@@ -373,7 +378,10 @@ def train(
 
     epoch_fn = learner.jit_epoch()
     steps_per_epoch = cfg.unroll_length * cfg.num_envs * cfg.action_repeat
-    num_epochs = max(0, (cfg.num_timesteps - resumed_steps) // steps_per_epoch)
+    # ceil of the remaining budget: at least one epoch whenever any steps
+    # remain, zero only when the checkpoint already covers num_timesteps
+    remaining = max(0, cfg.num_timesteps - resumed_steps)
+    num_epochs = -(-remaining // steps_per_epoch)
     history = []
     t0 = time.perf_counter()
     last_ckpt = resumed_steps

@@ -41,7 +41,9 @@ class SACTrainingState:
     alpha_opt: Any
     normalizer: running_statistics.RunningStatisticsState
     buffer: replay.ReplayState
-    env_steps: jnp.ndarray
+    # epoch counter (env-steps = epochs * steps_per_epoch * num_envs,
+    # reconstructed host-side; an int32 env-step counter would overflow)
+    epochs: jnp.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,7 +110,7 @@ class SACLearner:
             alpha_opt=self.alpha_opt.init(params.log_alpha),
             normalizer=running_statistics.init_state(self.obs_size),
             buffer=replay.init(sample_transition, self.cfg.replay_capacity),
-            env_steps=jnp.zeros((), jnp.int32),
+            epochs=jnp.zeros((), jnp.int32),
         )
 
     # ---- pieces ---------------------------------------------------------------
@@ -215,8 +217,7 @@ class SACLearner:
                 normalizer = ts.normalizer
                 if cfg.normalize_observations:
                     normalizer = running_statistics.update(normalizer, env_state.obs)
-                ts = ts.replace(buffer=buffer, normalizer=normalizer,
-                                env_steps=ts.env_steps + cfg.num_envs)
+                ts = ts.replace(buffer=buffer, normalizer=normalizer)
 
                 def do_grads(ts):
                     ts2 = ts
@@ -238,6 +239,7 @@ class SACLearner:
 
             (ts, env_state, _), metrics = jax.lax.scan(
                 one_step, (ts, env_state, key), None, length=cfg.steps_per_epoch)
+            ts = ts.replace(epochs=ts.epochs + 1)
             return ts, env_state, jax.tree.map(jnp.mean, metrics)
 
         return epoch

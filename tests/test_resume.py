@@ -33,4 +33,5 @@ def test_train_checkpoints_and_resumes(tmp_path):
     learner = ppo.PPOLearner(wrapped, ppo.PPOConfig(num_envs=8))
     template = learner.init(jax.random.PRNGKey(0))
     ts = checkpoint.restore(checkpoint.latest_step_dir(d), template=template)
-    assert int(ts.env_steps) == 512
+    # 512 steps / (4 unroll * 8 envs) = 16 epochs
+    assert int(ts.epochs) == 16
