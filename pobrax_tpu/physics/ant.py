@@ -110,7 +110,7 @@ def ant_config(
         ]
     bodies.append(c.Body(name="Ground", colliders=(c.Collider(geom=c.Plane()),), frozen=True))
 
-    collide = tuple(("$ Torso", "Ground") for _ in range(1)) + tuple(
+    collide = (("$ Torso", "Ground"),) + tuple(
         (f"$ Body {i}", "Ground") for i in leg_body_ids
     )
     return c.Config(

@@ -209,6 +209,11 @@ def validate(cfg: Config) -> None:
             raise ValueError(f"joint {j.name} references unknown body")
         if not 1 <= len(j.angle_limits) <= 3:
             raise ValueError(f"joint {j.name} must have 1-3 dof")
+        if any(v != 0.0 for v in j.reference_rotation):
+            raise NotImplementedError(
+                f"joint {j.name}: reference_rotation is declared for legacy "
+                f"schema parity but not implemented by this engine — bake "
+                f"the rest pose into `rotation`/`default_angles` instead")
     joint_names = {j.name for j in cfg.joints}
     for a in cfg.actuators:
         if a.joint not in joint_names:

@@ -24,7 +24,7 @@ differs); the test suite cross-validates the two.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -113,7 +113,7 @@ def _euler_xyz(q):
 _JOINT_AXES = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
 
 
-def make_fused_step(sys) -> Optional[callable]:
+def make_fused_step(sys) -> callable:
     """Build a scalar-unrolled `step(qp, act) -> (qp, Info)` for `sys`."""
     n = sys.num_bodies
     body = sys.body

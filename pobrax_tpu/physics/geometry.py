@@ -1,9 +1,10 @@
 """Contact generation and one-shot impulse resolution.
 
-Compile-time: `collide_include` body-name pairs (or all non-frozen pairs when
-empty) are expanded into typed, fixed-size candidate-contact arrays — the
-broadphase is fully static, so the jitted narrow-phase is one vectorized
-computation per contact type with zero dynamic shapes (TPU/XLA friendly).
+Compile-time: `collide_include` body-name pairs (an empty tuple means NO
+contacts — explicit-pairs convention) are expanded into typed, fixed-size
+candidate-contact arrays — the broadphase is fully static, so the jitted
+narrow-phase is one vectorized computation per contact type with zero
+dynamic shapes (TPU/XLA friendly).
 
 Runtime: each candidate yields (position, normal, penetration); a shared
 impulse resolver applies Baumgarte-stabilized inelastic impulses with a
@@ -121,8 +122,10 @@ class Contacts:
     def _classify(self, ia, col_a, ib, col_b, pp, ss, cc, cb):
         ga, gb = col_a.geom, col_b.geom
         # canonicalize: plane always second; box after sphere/capsule
-        if isinstance(ga, pcfg.Plane):
+        if isinstance(ga, pcfg.Plane) and not isinstance(gb, pcfg.Plane):
             return self._classify(ib, col_b, ia, col_a, pp, ss, cc, cb)
+        if isinstance(ga, pcfg.Plane) and isinstance(gb, pcfg.Plane):
+            raise NotImplementedError("contact pair Plane vs Plane not supported")
         if isinstance(ga, pcfg.Box) and isinstance(gb, (pcfg.Sphere, pcfg.Capsule)):
             return self._classify(ib, col_b, ia, col_a, pp, ss, cc, cb)
 
@@ -134,7 +137,11 @@ class Contacts:
             elif isinstance(ga, pcfg.Capsule):
                 e0, e1 = _capsule_ends(col_a)
                 pp.append((ia, e0, ga.radius, ib, ppos, pquat))
-                pp.append((ia, e1, ga.radius, ib, ppos, pquat))
+                # degenerate capsules (length <= 2r, e.g. the ant torso) have
+                # coincident end spheres; emitting both would double-count
+                # the contact impulse
+                if not np.allclose(e0, e1):
+                    pp.append((ia, e1, ga.radius, ib, ppos, pquat))
             elif isinstance(ga, pcfg.Box):
                 h = np.asarray(ga.halfsize, np.float32)
                 q = _euler_to_quat_np(col_a.rotation)

@@ -263,17 +263,6 @@ class JointGroup:
         return P(vel=jnp.zeros((nbody, 3), torque.dtype), ang=dang)
 
 
-class RevoluteJoints(JointGroup):
-    """1-dof hinge group (kept as a named class for the common case)."""
-
-    def __init__(self, cfg: pcfg.Config, bodies: Bodies, joints: Sequence[pcfg.Joint]):
-        super().__init__(cfg, bodies, joints, dof=1)
-
-    def angle_vel(self, qp: QP):
-        (a,), (v,) = super().angle_vel(qp)
-        return (a,), (v,)
-
-
 def _dof_of(cfg: pcfg.Config, joint_name: str) -> int:
     for j in cfg.joints:
         if j.name == joint_name:

@@ -57,9 +57,9 @@ def capsule_wall(from_xy: Sequence[float], to_xy: Sequence[float],
 
 
 def _wall_body(cfg: c.Config, name: str, corners: np.ndarray, half: float,
-               use_boxes: bool) -> c.Config:
-    """Add a frozen body named `name` whose colliders trace `corners` in a loop."""
-    r = half / 2.0 if use_boxes else half
+               r: float, use_boxes: bool) -> c.Config:
+    """Add a frozen body named `name` whose colliders trace `corners` in a
+    loop; `r` is the wall half-thickness (box) or radius (capsule)."""
     colliders: Tuple[c.Collider, ...] = ()
     n = corners.shape[0]
     for i in range(n):
@@ -77,21 +77,23 @@ def _wall_body(cfg: c.Config, name: str, corners: np.ndarray, half: float,
 def draw_arena(cfg: c.Config, cage_x: float, cage_y: float, half: float = 0.5,
                arena_name: str = "Arena", use_boxes: bool = True) -> c.Config:
     """4-wall rectangular arena enclosing [-cage_x, cage_x] x [-cage_y, cage_y]
-    (utils.py:60-83)."""
+    (utils.py:60-83; the reference halves the box thickness here, :74)."""
     r = half / 2.0 if use_boxes else half
     x, y = cage_x, cage_y
     corners = np.array(
         [[x + r, y + r], [x + r, -y - r], [-x - r, -y - r], [-x - r, y + r]], np.float64
     )
-    return _wall_body(cfg, arena_name, corners, half, use_boxes)
+    return _wall_body(cfg, arena_name, corners, half, r, use_boxes)
 
 
 def draw_t_maze(cfg: c.Config, t_x: float, t_y: float, hallway_width: float = 2.0,
                 half: float = 0.5, arena_name: str = "Arena",
                 use_boxes: bool = True) -> c.Config:
     """8-segment T-maze outline (utils.py:87-119): stem along +y from the
-    origin, crossbar at the top spanning [-t_x, t_x]."""
-    r = half / 2.0 if use_boxes else half
+    origin, crossbar at the top spanning [-t_x, t_x]. Unlike draw_arena, the
+    reference does NOT halve the box thickness here (utils.py:102) — walls
+    are `half` thick either way."""
+    r = half
     h = hallway_width
     corners = np.array(
         [
@@ -106,4 +108,4 @@ def draw_t_maze(cfg: c.Config, t_x: float, t_y: float, hallway_width: float = 2.
         ],
         np.float64,
     )
-    return _wall_body(cfg, arena_name, corners, half, use_boxes)
+    return _wall_body(cfg, arena_name, corners, half, r, use_boxes)

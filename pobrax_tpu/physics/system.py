@@ -198,10 +198,11 @@ class System:
     def step(self, qp: QP, act: jnp.ndarray) -> Tuple[QP, Info]:
         """`substeps` spring-dynamics substeps; returns (qp', accumulated Info).
 
-        Dispatches to the scalar-unrolled fast path (physics/fused.py) when
-        the system fits its envelope (1-dof joints, torque actuators — the
-        whole ant family); the vectorized generic path otherwise, and always
-        via `step_generic` for cross-validation."""
+        Dispatch is purely backend-based: the scalar-unrolled fast path
+        (physics/fused.py, which covers the engine's full feature set) runs
+        on non-CPU backends, the vectorized `step_generic` elsewhere;
+        POBRAX_FUSED=1/0 overrides. Any semantic change must be made to BOTH
+        paths (tests/test_fused.py cross-validates them)."""
         if self._fused_step is not None:
             return self._fused_step(qp, act)
         return self.step_generic(qp, act)
