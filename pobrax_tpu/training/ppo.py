@@ -328,6 +328,54 @@ class PPOLearner:
         )
 
 
+def evaluate(
+    env: Env,
+    inference_fn: Callable,
+    params_tuple,
+    num_episodes: int = 32,
+    episode_length: int = 1000,
+    seed: int = 0,
+    deterministic: bool = True,
+) -> Dict[str, float]:
+    """Evaluate a policy on a core env: `num_episodes` parallel episodes,
+    fully on-device (one jitted scan). Returns mean return / length.
+
+    The in-scan accumulators replicate the stock EvalWrapper's semantics
+    (sum rewards until the first done, count steps survived)."""
+    from pobrax_tpu.envs import wrappers
+
+    wrapped = wrappers.EpisodeWrapper(env, episode_length, 1)
+    wrapped = wrappers.VmapWrapper(wrapped, batch_size=num_episodes)
+
+    def run(key):
+        k_reset, k_act = jax.random.split(key)
+        state = wrapped.reset(jax.random.split(k_reset, num_episodes))
+        ret0 = jnp.zeros(num_episodes)
+
+        def body(carry, _):
+            state, ret, length, alive, key = carry
+            key, k = jax.random.split(key)
+            act = inference_fn(params_tuple, state.obs, k,
+                               deterministic=deterministic)
+            state = wrapped.step(state, act)
+            ret = ret + state.reward * alive
+            length = length + alive
+            alive = alive * (1.0 - state.done)
+            return (state, ret, length, alive, key), None
+
+        (_, ret, length, _, _), _ = jax.lax.scan(
+            body, (state, ret0, ret0, jnp.ones(num_episodes), k_act),
+            None, length=episode_length)
+        return ret, length
+
+    ret, length = jax.jit(run)(jax.random.PRNGKey(seed))
+    return {
+        "eval/mean_return": float(jnp.mean(ret)),
+        "eval/std_return": float(jnp.std(ret)),
+        "eval/mean_length": float(jnp.mean(length)),
+    }
+
+
 def train(
     env: Env,
     cfg: Optional[PPOConfig] = None,

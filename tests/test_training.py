@@ -135,3 +135,15 @@ def test_ppo_deterministic_given_seed():
     b = jax.tree.leaves(outs[1][1])
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_evaluate_runs_on_device():
+    from pobrax_tpu.envs.ant import Ant
+
+    env = Ant()
+    inf_fn, params, _ = ppo.train(
+        env, num_timesteps=64, num_envs=4, episode_length=8,
+        unroll_length=4, num_minibatches=2, num_update_epochs=1, seed=0)
+    stats = ppo.evaluate(env, inf_fn, params, num_episodes=4, episode_length=10)
+    assert set(stats) == {"eval/mean_return", "eval/std_return", "eval/mean_length"}
+    assert 0 < stats["eval/mean_length"] <= 10
