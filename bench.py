@@ -65,6 +65,16 @@ def bench(env_name: str = "ant_tag", batch: int = 4096, steps: int = 200,
         jax.block_until_ready(state.obs)
         dt = time.perf_counter() - t0
         best = max(best, batch * steps / dt)
+
+    # BENCH_TRACE=<dir>: capture a jax.profiler trace of one timed rollout
+    # (open in Perfetto/TensorBoard; basis of docs/PERFORMANCE.md's roofline)
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        from pobrax_tpu.utils.profiling import trace
+        with trace(trace_dir):
+            state, key = rollout_jit(state, key)
+            jax.block_until_ready(state.obs)
+        print(f"# trace written to {trace_dir}", flush=True)
     return best
 
 
@@ -75,11 +85,13 @@ def main() -> None:
     n_chips = max(1, len([d for d in jax.devices() if d.platform != "cpu"]) or 1)
     value = bench(env_name, batch, steps) / n_chips
     # The reference publishes no numbers (SURVEY.md §6) — vs_baseline is the
-    # ratio to the first recorded value of this same bench, else 1.0.
+    # ratio to the earliest recorded round of this same bench, else 1.0.
     baseline = None
-    if os.path.exists("BENCH_r1.json"):
+    import glob
+    recorded = sorted(glob.glob("BENCH_r*.json"))
+    if recorded:
         try:
-            with open("BENCH_r1.json") as f:
+            with open(recorded[0]) as f:
                 baseline = json.load(f).get("value")
         except Exception:
             baseline = None

@@ -124,7 +124,8 @@ def create_gym_env(
         e = AutoresetGymWrapper(environment, seed=seed, backend=backend)
     else:
         if batch_size <= 0:
-            raise ValueError("`batch_size` should either be None or a positive integer.")
+            raise ValueError(
+                f"batch_size must be a positive int or None, got {batch_size!r}")
         e = AutoresetVmapGymWrapper(environment, batch_size, seed=seed, backend=backend)
     if eval_metrics:
         e = EvalGymWrapper(e, discount=discount)

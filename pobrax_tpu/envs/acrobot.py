@@ -65,9 +65,10 @@ class Acrobot(Env):
 
     def reset(self, rng: jnp.ndarray) -> State:
         rng, rng1, rng2 = jax.random.split(rng, 3)
-        # hanging down = shoulder angle pi (link frames point +z up at zero)
-        qpos = jnp.array([jnp.pi, 0.0]) + jax.random.uniform(
-            rng1, (2,), minval=-0.1, maxval=0.1)
+        # hanging down IS the zero pose (child_offset +0.5L puts link centers
+        # below their anchors at angle 0) — classic acrobot starts hanging
+        # with small jitter; pi would be the inverted/goal configuration
+        qpos = jax.random.uniform(rng1, (2,), minval=-0.1, maxval=0.1)
         qvel = jax.random.uniform(rng2, (2,), minval=-0.1, maxval=0.1)
         qp = self.sys.default_qp(joint_angle=qpos, joint_velocity=qvel)
         obs = self._get_obs(qp)

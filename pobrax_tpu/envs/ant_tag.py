@@ -128,7 +128,14 @@ class AntTagEnv(Env):
 
     def _step_target(self, rng, ant_xy, tgt_xy) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Adversary: one of {2 perpendiculars, flee, stay}, reverting moves
-        that leave the cage (reference :129-146)."""
+        that leave the cage (reference :129-146).
+
+        HAZARD (parity with reference ant_tag.py:135): if the ant torso sits
+        exactly on the target, norm(t2a) is 0 and the division yields NaN,
+        which propagates into the target position. Unreachable at the default
+        tag_radius=1.5 (the episode ends first); reachable only via config
+        (tag_radius=0). Kept as-is because the divide is part of the
+        fixed-seed bit-exactness surface."""
         rng, rng1 = jax.random.split(rng, 2)
         choice = jax.random.randint(rng1, (), 0, 4)
         t2a = ant_xy - tgt_xy

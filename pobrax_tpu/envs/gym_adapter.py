@@ -177,10 +177,14 @@ class EvalGymWrapper:
     Duck-typed (not gymnasium.Wrapper): it must wrap both `gym.Env` and
     `gym.vector.VectorEnv`, which share no base class in gymnasium 1.x."""
 
-    def __init__(self, env, discount: float = 1.0):
+    def __init__(self, env, discount: float = 1.0, queue_cap: int = 100_000):
         self.env = env
         self._discount = discount
         self.num_envs = getattr(env, "num_envs", 1)
+        # completed-episode queues keep only the most recent `queue_cap`
+        # entries — the reference's grow without bound (wrappers.py:209-219),
+        # which leaks in long evaluations
+        self._queue_cap = queue_cap
 
     def __getattr__(self, name):
         if name.startswith("__"):
@@ -215,6 +219,10 @@ class EvalGymWrapper:
             self.discounted_episode_returns = self.discounted_episode_returns.at[d_idx].set(0)
             self.episode_lengths = self.episode_lengths.at[d_idx].set(0)
             self.current_discount = self.current_discount.at[d_idx].set(1)
+            if len(self.r_q) > self._queue_cap:
+                self.r_q = self.r_q[-self._queue_cap:]
+                self.dr_q = self.dr_q[-self._queue_cap:]
+                self.l_q = self.l_q[-self._queue_cap:]
         return obs, r, terminated, truncated, info
 
     def get_stats(self):

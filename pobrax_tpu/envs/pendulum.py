@@ -107,10 +107,14 @@ class InvertedDoublePendulum(Env):
         tip = self._tip(qp)
         x_rel = tip[0] - qp.pos[self.cart, 0]
         height = tip[2] - qp.pos[self.cart, 2]
-        dist_penalty = 0.01 * jnp.square(x_rel) + jnp.square(height - 0.9)
+        # mujoco IDP semantics (same 0.6+0.6 geometry): penalty target 2.0 is
+        # ABOVE the 1.2 reachable tip height, so the penalty is monotone in
+        # height and uniquely minimized at upright; done when the tip drops
+        # below 1 m above the cart
+        dist_penalty = 0.01 * jnp.square(x_rel) + jnp.square(height - 2.0)
         (_, ), (v, ) = self.sys.joints[0].angle_vel(qp)
         vel_penalty = 1e-3 * jnp.square(v[0]) + 5e-3 * jnp.square(v[1])
         reward = 10.0 - dist_penalty - vel_penalty
-        done = jnp.where(height < 0.3, jnp.float32(1), jnp.float32(0))
+        done = jnp.where(height < 1.0, jnp.float32(1), jnp.float32(0))
         return state.replace(qp=qp, obs=obs, reward=reward, done=done,
                              metrics={**state.metrics, "distance": jnp.abs(x_rel)})

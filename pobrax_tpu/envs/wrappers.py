@@ -110,7 +110,8 @@ class AutoResetWrapper(Wrapper):
 
     def reset(self, rng: jnp.ndarray) -> State:
         state = self.env.reset(rng)
-        info = {**state.info, "first_qp": state.qp, "first_obs": state.obs}
+        info = {**state.info, "first_qp": state.qp, "first_obs": state.obs,
+                "final_obs": state.obs}
         return state.replace(info=info)
 
     def step(self, state: State, action: jnp.ndarray) -> State:
@@ -120,7 +121,9 @@ class AutoResetWrapper(Wrapper):
         qp = jax.tree.map(
             lambda x, y: where_done(state.done, x, y), state.info["first_qp"], state.qp)
         obs = where_done(state.done, state.info["first_obs"], state.obs)
-        return state.replace(qp=qp, obs=obs)
+        # pre-reset observation, for learners that bootstrap across autoreset
+        info = {**state.info, "final_obs": state.obs}
+        return state.replace(qp=qp, obs=obs, info=info)
 
 
 def _zero_steps_where_done(state: State) -> State:
@@ -150,7 +153,16 @@ def _split_info_rng(state: State):
 
 class RandomizedAutoResetWrapperNaive(Wrapper):
     """Resample a fresh initial state every step; one extra reset per step
-    (reference wrappers.py:30-52)."""
+    (reference wrappers.py:30-52).
+
+    `info['final_obs']` carries the pre-reset observation of the step (equal
+    to `obs` when the episode did not end) so off-policy learners can
+    bootstrap from the true final state instead of the next episode's initial
+    observation."""
+
+    def reset(self, rng: jnp.ndarray) -> State:
+        state = self.env.reset(rng)
+        return state.replace(info={**state.info, "final_obs": state.obs})
 
     def step(self, state: State, action: jnp.ndarray) -> State:
         state = _zero_steps_where_done(state)
@@ -160,17 +172,23 @@ class RandomizedAutoResetWrapperNaive(Wrapper):
         maybe_reset = self.reset(reset_rng)
         qp = jax.tree.map(lambda x, y: where_done(state.done, x, y), maybe_reset.qp, state.qp)
         obs = where_done(state.done, maybe_reset.obs, state.obs)
-        return state.replace(qp=qp, obs=obs)
+        info = {**state.info, "final_obs": state.obs}
+        return state.replace(qp=qp, obs=obs, info=info)
 
 
 class RandomizedAutoResetWrapperOnTerminal(Wrapper):
     """Resample only when >= 1 env is done (still resamples for all), via
     lax.cond (reference wrappers.py:55-80)."""
 
+    def reset(self, rng: jnp.ndarray) -> State:
+        state = self.env.reset(rng)
+        return state.replace(info={**state.info, "final_obs": state.obs})
+
     def step(self, state: State, action: jnp.ndarray) -> State:
         state = _zero_steps_where_done(state)
         state = state.replace(done=jnp.zeros_like(state.done))
         state = self.env.step(state, action)
+        state = state.replace(info={**state.info, "final_obs": state.obs})
         state, reset_rng = _split_info_rng(state)
         maybe_reset = jax.lax.cond(
             state.done.any(), self.reset, lambda rng: state, reset_rng)
@@ -190,7 +208,8 @@ class RandomizedAutoResetWrapperCached(Wrapper):
 
     def reset(self, rng: jnp.ndarray) -> State:
         state = self.env.reset(rng)
-        info = {**state.info, "first_qp": state.qp, "first_obs": state.obs}
+        info = {**state.info, "first_qp": state.qp, "first_obs": state.obs,
+                "final_obs": state.obs}
         return state.replace(info=info)
 
     def step(self, state: State, action: jnp.ndarray) -> State:
@@ -211,7 +230,8 @@ class RandomizedAutoResetWrapperCached(Wrapper):
         qp = jax.tree.map(
             lambda x, y: where_done(state.done, x, y), state.info["first_qp"], state.qp)
         obs = where_done(state.done, state.info["first_obs"], state.obs)
-        return state.replace(qp=qp, obs=obs)
+        info = {**state.info, "final_obs": state.obs}
+        return state.replace(qp=qp, obs=obs, info=info)
 
 
 @struct.dataclass

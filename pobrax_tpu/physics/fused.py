@@ -24,11 +24,14 @@ differs); the test suite cross-validates the two.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from pobrax_tpu.physics.joints import ANGLE_SERVO_GAIN
 from pobrax_tpu.physics.state import Info, P, QP
 
 # ---- scalar quaternion/vector helpers (tuples of 0-d values) -------------------
@@ -92,7 +95,112 @@ def _norm(a):
     return jnp.sqrt(jnp.maximum(_dot(a, a), 1e-24))
 
 
+# ---- host-side float helpers (build-time constants) -------------------------
+
+
+def _qmul_f(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return (
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    )
+
+
+def _qrot_f(v, q):
+    w, x, y, z = q
+    vx, vy, vz = v
+    tx = 2.0 * (y * vz - z * vy)
+    ty = 2.0 * (z * vx - x * vz)
+    tz = 2.0 * (x * vy - y * vx)
+    return (
+        vx + w * tx + (y * tz - z * ty),
+        vy + w * ty + (z * tx - x * tz),
+        vz + w * tz + (x * ty - y * tx),
+    )
+
+
+def _quat_mat_f(q):
+    """3x3 rotation matrix (local -> world) of a quaternion tuple."""
+    w, x, y, z = q
+    return [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+
+
 # ---- the compiler ---------------------------------------------------------------
+
+
+def _compile_cb_vec(rows, default_rot, inv_mass, inv_inertia):
+    """Build-time constants for the (K,)-vectorized capsule-box phase.
+
+    Only rows whose box body is fully frozen qualify (the caller filters):
+    the box world frame then folds to per-row constants — a (K,4) quaternion
+    becomes two constant (K,3,3) matrices, and the whole narrow phase runs as
+    dense (K,3) arithmetic instead of K scalar-unrolled SDF evaluations.
+    Rows are sorted by capsule body so per-body impulse accumulation is a
+    static contiguous-slice sum (no scatter)."""
+    rows = sorted(rows, key=lambda r: r["a"])
+    K = len(rows)
+
+    # unique capsules (a, e0, e1, radius): world endpoints are computed once
+    # per capsule and broadcast to rows with a constant one-hot matmul
+    caps, cap_of_row = [], []
+    cap_key_to_idx = {}
+    for r in rows:
+        key = (r["a"], tuple(r["e0"]), tuple(r["e1"]), r["radius"])
+        if key not in cap_key_to_idx:
+            cap_key_to_idx[key] = len(caps)
+            caps.append((r["a"], tuple(r["e0"]), tuple(r["e1"])))
+        cap_of_row.append(cap_key_to_idx[key])
+    C = len(caps)
+    m_cap = np.zeros((K, C), np.float32)
+    m_cap[np.arange(K), cap_of_row] = 1.0
+
+    # unique box bodies (dynamic positions; frozen rotations are constants)
+    uniq_b = sorted({r["b"] for r in rows})
+    b_slot = {b: i for i, b in enumerate(uniq_b)}
+    m_box = np.zeros((K, len(uniq_b)), np.float32)
+
+    rot_w = np.zeros((K, 3, 3), np.float32)   # box local -> world
+    rot_wt = np.zeros((K, 3, 3), np.float32)  # world -> box local
+    box_off_w = np.zeros((K, 3), np.float32)  # rotate(box_pos_local, rot_b)
+    halfsize = np.zeros((K, 3), np.float32)
+    radius = np.zeros((K,), np.float32)
+    invm_a = np.zeros((K,), np.float32)
+    inertia_a = np.zeros((K, 3), np.float32)
+    for k, r in enumerate(rows):
+        b = r["b"]
+        m_box[k, b_slot[b]] = 1.0
+        q_b = default_rot[b]
+        box_q = _qmul_f(q_b, tuple(r["box_quat"]))
+        m = np.array(_quat_mat_f(box_q), np.float64)
+        rot_w[k] = m
+        rot_wt[k] = m.T
+        box_off_w[k] = _qrot_f(tuple(r["box_pos"]), q_b)
+        halfsize[k] = r["halfsize"]
+        radius[k] = r["radius"]
+        invm_a[k] = inv_mass[r["a"]]
+        inertia_a[k] = inv_inertia[r["a"]]
+
+    # contiguous row ranges per capsule body (rows sorted by a above)
+    body_slices = []
+    lo = 0
+    for k in range(1, K + 1):
+        if k == K or rows[k]["a"] != rows[lo]["a"]:
+            body_slices.append((rows[lo]["a"], lo, k))
+            lo = k
+
+    return dict(
+        caps=caps, m_cap=m_cap, uniq_b=uniq_b, m_box=m_box,
+        rot_w=rot_w, rot_wt=rot_wt, box_off_w=box_off_w,
+        halfsize=halfsize, radius=radius, invm_a=invm_a, inertia_a=inertia_a,
+        body_slices=body_slices,
+    )
 
 
 def _euler_xyz(q):
@@ -180,6 +288,21 @@ def make_fused_step(sys) -> callable:
     frozen = [bool(f) for f in body.frozen]
     default_rot = [tuple(float(v) for v in sys._default_pose[1][i]) for i in range(n)]
     _ZERO3F = (0.0, 0.0, 0.0)
+
+    # (K,)-vectorized capsule-box phase: with many wall rows (T-maze: 72,
+    # maze: 108) scalar unrolling costs K x ~600 ops per substep and minutes
+    # of XLA compile; batching the rows into dense (K,3) arrays is faster to
+    # run AND to compile. Only rows against fully frozen boxes qualify (their
+    # box frame folds to constants — true for every wall in the repo); any
+    # others stay on the scalar path. POBRAX_CB_VEC_MIN tunes the cutover.
+    cb_vec_min = int(os.environ.get("POBRAX_CB_VEC_MIN", "12"))
+    _cb_frozen = [r for r in cb_rows if frozen[r["b"]]]
+    if len(_cb_frozen) >= cb_vec_min:
+        cb_scalar_rows = [r for r in cb_rows if not frozen[r["b"]]]
+        cb_vec = _compile_cb_vec(_cb_frozen, default_rot, inv_mass, inv_inertia)
+    else:
+        cb_scalar_rows = cb_rows
+        cb_vec = None
 
     def step(qp: QP, act: jnp.ndarray) -> Tuple[QP, Info]:
         # ---- scalar pack/unpack helpers ---------------------------------------
@@ -296,7 +419,7 @@ def make_fused_step(sys) -> callable:
                 cpos = _add(pb, _scale(normal, r["rb"] - 0.5 * jnp.maximum(pen, 0.0)))
                 resolve(a, b, cpos, normal, pen)
 
-            for r in cb_rows:
+            for r in cb_scalar_rows:
                 a, b = r["a"], r["b"]
                 # frozen box body => box frame quaternions fold to constants
                 box_rot = _qmul(rot_of(b), tuple(r["box_quat"]))
@@ -341,6 +464,108 @@ def make_fused_step(sys) -> callable:
                     normal = _qrot(normal_l, box_rot)
                     cpos = _add(box_pos, _qrot(pos_l, box_rot))
                     resolve(a, b, cpos, normal, pen)
+
+            if cb_vec is not None:
+                cv = cb_vec
+                dt_ = qp.pos.dtype
+
+                def pack3(ts):
+                    return jnp.stack(
+                        [jnp.stack([jnp.asarray(v, dt_) for v in t]) for t in ts])
+
+                # world endpoints once per unique capsule (scalar, ~C ops),
+                # broadcast to rows by constant one-hot matmul (no gathers)
+                E0, E1, PA, VA, AA = [], [], [], [], []
+                for (ca, e0l, e1l) in cv["caps"]:
+                    qa = rot_of(ca)
+                    E0.append(_add(pos[ca], _qrot(e0l, qa)))
+                    E1.append(_add(pos[ca], _qrot(e1l, qa)))
+                    PA.append(pos[ca])
+                    VA.append(vel_of(ca))
+                    AA.append(ang_of(ca))
+                mc = jnp.asarray(cv["m_cap"], dt_)  # (K, C)
+                e0w = mc @ pack3(E0)  # (K, 3)
+                e1w = mc @ pack3(E1)
+                pa = mc @ pack3(PA)
+                va = mc @ pack3(VA)
+                aa = mc @ pack3(AA)
+
+                pb = pack3([pos[bb] for bb in cv["uniq_b"]])
+                box_pos_k = jnp.asarray(cv["m_box"], dt_) @ pb \
+                    + jnp.asarray(cv["box_off_w"], dt_)  # (K, 3)
+
+                rot_w = jnp.asarray(cv["rot_w"], dt_)    # (K,3,3) local->world
+                rot_wt = jnp.asarray(cv["rot_wt"], dt_)  # (K,3,3) world->local
+                s0 = jnp.einsum("kij,...kj->...ki", rot_wt, e0w - box_pos_k)
+                s1 = jnp.einsum("kij,...kj->...ki", rot_wt, e1w - box_pos_k)
+                dseg = s1 - s0
+                den = jnp.maximum(jnp.sum(dseg * dseg, -1), 1e-8)
+                tmid = jnp.clip(-jnp.sum(s0 * dseg, -1) / den, 0.0, 1.0)
+                smid = s0 + tmid[..., None] * dseg
+
+                h_k = jnp.asarray(cv["halfsize"], dt_)  # (K, 3)
+                rad_k = jnp.asarray(cv["radius"], dt_)  # (K,)
+                invm_k = jnp.asarray(cv["invm_a"], dt_)
+                ia_k = jnp.asarray(cv["inertia_a"], dt_)  # (K, 3)
+
+                J = TQ = 0.0
+                for p in (s0, s1, smid):
+                    # point-box SDF, same math as the scalar branch above
+                    qc = jnp.clip(p, -h_k, h_k)
+                    dl = p - qc
+                    dist = jnp.sqrt(jnp.maximum(jnp.sum(dl * dl, -1), 1e-24))
+                    outside = dist > 1e-8
+                    n_out = dl / jnp.maximum(dist, 1e-8)[..., None]
+                    pen_out = rad_k - dist
+                    face = h_k - jnp.abs(p)
+                    fx, fy, fz = face[..., 0], face[..., 1], face[..., 2]
+                    kx = fx <= jnp.minimum(fy, fz)
+                    ky = (~kx) & (fy <= fz)
+                    kz = (~kx) & (~ky)
+                    onehot = jnp.stack([kx, ky, kz], -1).astype(dt_)
+                    sgn = jnp.where(jnp.sum(p * onehot, -1) >= 0.0, 1.0, -1.0)
+                    n_in = sgn[..., None] * onehot
+                    pen_in = rad_k + jnp.min(face, -1)
+                    q_in = p * (1.0 - onehot) \
+                        + (sgn * jnp.sum(h_k * onehot, -1))[..., None] * onehot
+                    normal_l = jnp.where(outside[..., None], n_out, n_in)
+                    pen = jnp.where(outside, pen_out, pen_in)
+                    pos_l = jnp.where(outside[..., None], qc, q_in)
+                    normal = jnp.einsum("kij,...kj->...ki", rot_w, normal_l)
+                    cpos = box_pos_k + jnp.einsum("kij,...kj->...ki", rot_w, pos_l)
+
+                    # one-shot impulse; box body frozen => only `a` terms
+                    r_a = cpos - pa
+                    v_a = va + jnp.cross(aa, r_a)
+                    vn = jnp.sum(v_a * normal, -1)
+                    cra = jnp.cross(r_a, normal)
+                    ang_term = jnp.sum(normal * jnp.cross(ia_k * cra, r_a), -1)
+                    denom = jnp.maximum(invm_k + ang_term, 1e-8)
+                    imp = (-(1.0 + elasticity) * vn
+                           + baumgarte * jnp.maximum(pen, 0.0)) / denom
+                    live = (pen > 0.0) & (imp > 0.0)
+                    imp = jnp.where(live, imp, 0.0)
+                    v_t = v_a - vn[..., None] * normal
+                    vt_n = jnp.sqrt(jnp.maximum(jnp.sum(v_t * v_t, -1), 1e-24))
+                    imp_d = jnp.minimum(vt_n / denom, friction * imp)
+                    imp_d = jnp.where(live & (vt_n > 1e-8), imp_d, 0.0)
+                    scale_t = imp_d / jnp.maximum(vt_n, 1e-8)
+                    j = imp[..., None] * normal - v_t * scale_t[..., None]
+                    J = J + j
+                    TQ = TQ + jnp.cross(r_a, j)
+
+                # per-body accumulation: rows are pre-sorted by body, so each
+                # body's rows are one static contiguous slice (no scatter)
+                for (bi, lo, hi) in cv["body_slices"]:
+                    jj = jnp.sum(J[..., lo:hi, :], -2)
+                    tt = jnp.sum(TQ[..., lo:hi, :], -2)
+                    im = inv_mass[bi]
+                    ii = inv_inertia[bi]
+                    dvel[bi] = _add(dvel[bi], (im * jj[..., 0], im * jj[..., 1],
+                                               im * jj[..., 2]))
+                    dang[bi] = _add(dang[bi], (ii[0] * tt[..., 0],
+                                               ii[1] * tt[..., 1],
+                                               ii[2] * tt[..., 2]))
 
             return dvel, dang
 
@@ -414,7 +639,7 @@ def make_fused_step(sys) -> callable:
                     for dd in range(dof):
                         a_in = act[jt["act_idx"] + dd]
                         if jt["act_kind"] == 1:  # angle servo
-                            tau = jnp.clip(25.0 * (a_in - angles[dd]),
+                            tau = jnp.clip(ANGLE_SERVO_GAIN * (a_in - angles[dd]),
                                            -jt["act_k"], jt["act_k"])
                         else:  # torque
                             tau = jnp.clip(a_in, -1.0, 1.0) * jt["act_k"]

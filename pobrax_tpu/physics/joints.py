@@ -33,6 +33,13 @@ from pobrax_tpu.physics import config as pcfg
 from pobrax_tpu.physics.bodies import Bodies
 from pobrax_tpu.physics.state import P, QP
 
+# Position-servo gain for "angle" actuators: tau = clip(GAIN * (target_rad -
+# angle_rad), ±strength). This is a deliberate deviation from legacy brax's
+# Angle actuator (torque = strength * (clip(target_deg→rad, limits) - angle));
+# documented in PARITY.md "Known deltas". Shared by the fused path
+# (physics/fused.py) so both step implementations stay in lock-step.
+ANGLE_SERVO_GAIN = 25.0
+
 _X = np.array([1.0, 0.0, 0.0], np.float32)
 _Y = np.array([0.0, 1.0, 0.0], np.float32)
 _Z = np.array([0.0, 0.0, 1.0], np.float32)
@@ -235,7 +242,10 @@ class JointGroup:
                      — a saturating position servo (legacy "angle" actuators,
                      used by ur5e/grasp-class systems).
         """
-        if self.count == 0:
+        # no joints, or none of this group's joints actuated (an empty action
+        # vector must not be gathered from — systems with joints but zero
+        # actuators are legal)
+        if self.count == 0 or not np.any(self.act_idx >= 0):
             return P.zero(bodies.count)
         _, _, q_pj, q_d = self._frames(qp)
         axes = self._world_axes(q_pj)  # (J, dof, 3)
@@ -247,7 +257,7 @@ class JointGroup:
         tau_torque = self.act_strength[:, None] * jnp.clip(a, -1.0, 1.0)
         ang = self.angles(q_d)
         tau_angle = jnp.clip(
-            25.0 * (a - ang),
+            ANGLE_SERVO_GAIN * (a - ang),
             -self.act_strength[:, None], self.act_strength[:, None])
         tau = jnp.where((self.act_kind == 1)[:, None], tau_angle, tau_torque)
         tau = jnp.where(actuated[:, None], tau, 0.0)

@@ -81,25 +81,31 @@ def compute_gae(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generalized advantage estimation over a (T, B) rollout.
 
-    `done` ends the episode (no bootstrap across it) EXCEPT where
-    `truncation` is set, where the episode was cut by the step budget and the
-    value bootstrap must survive (EpisodeWrapper semantics).
+    Terminal `done` kills the bootstrap. At a *truncated* step (episode cut
+    by the step budget) the stored obs_{t+1} is already the NEXT episode's
+    post-autoreset initial observation, so neither the TD delta nor the GAE
+    accumulator may cross the boundary: both are masked by
+    (1 - truncation), matching brax v0 PPO's compute_gae (the trainer the
+    reference's envs were consumed by). The truncated step itself therefore
+    contributes zero advantage — the honest choice given the pre-reset final
+    observation is not stored in the rollout.
     """
     values_tp1 = jnp.concatenate([values[1:], bootstrap_value[None]], axis=0)
-    # where truncated: treat as non-terminal for bootstrapping
+    truncation_mask = 1.0 - truncation
+    # truncated steps are not true terminations
     termination = dones * (1.0 - truncation)
 
     def body(carry, xs):
         gae = carry
-        reward, term, v, v_tp1 = xs
-        delta = reward + discount * (1.0 - term) * v_tp1 - v
-        gae = delta + discount * gae_lambda * (1.0 - term) * gae
+        reward, term, tmask, v, v_tp1 = xs
+        delta = (reward + discount * (1.0 - term) * v_tp1 - v) * tmask
+        gae = delta + discount * gae_lambda * (1.0 - term) * tmask * gae
         return gae, gae
 
     _, advantages = jax.lax.scan(
         body,
         jnp.zeros_like(bootstrap_value),
-        (rewards, termination, values, values_tp1),
+        (rewards, termination, truncation_mask, values, values_tp1),
         reverse=True,
     )
     return advantages, advantages + values

@@ -51,6 +51,24 @@ def insert(state: ReplayState, sample: Any) -> ReplayState:
 
 
 def sample(state: ReplayState, key: jnp.ndarray, batch: int) -> Any:
-    """Uniform sample of `batch` slots (with replacement)."""
+    """Uniform sample of `batch` whole slots (with replacement).
+
+    Slot-granular: with (capacity, num_envs, ...) storage each draw returns
+    one full env-batch row. Keeps per-column locality, so it stays correct
+    when the column axis is sharded on a mesh 'data' axis."""
     idx = jax.random.randint(key, (batch,), 0, jnp.maximum(state.size, 1))
     return jax.tree.map(lambda buf: buf[idx], state.data)
+
+
+def sample_transitions(state: ReplayState, key: jnp.ndarray, batch: int) -> Any:
+    """Uniform sample of `batch` individual transitions (with replacement).
+
+    Requires every leaf shaped (capacity, columns, ...): draws independent
+    (slot, column) pairs so a batch is decorrelated in time AND across envs.
+    NOTE: gathers across the column axis — if storage is sharded on that
+    axis this induces cross-shard collectives; use `sample` there instead."""
+    cols = jax.tree.leaves(state.data)[0].shape[1]
+    k_slot, k_col = jax.random.split(key)
+    slot = jax.random.randint(k_slot, (batch,), 0, jnp.maximum(state.size, 1))
+    col = jax.random.randint(k_col, (batch,), 0, cols)
+    return jax.tree.map(lambda buf: buf[slot, col], state.data)

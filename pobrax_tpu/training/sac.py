@@ -52,7 +52,7 @@ class SACConfig:
     num_envs: int = 128
     episode_length: int = 1000
     replay_capacity: int = 8192  # slots; each slot holds one (num_envs, ...) batch
-    batch_size: int = 256
+    batch_size: int = 256  # individual transitions per gradient step
     steps_per_epoch: int = 16  # env steps (and grad steps) per jitted epoch
     grad_steps_per_env_step: int = 1
     min_replay: int = 64
@@ -137,7 +137,8 @@ class SACLearner:
         next_logp = self.dist.log_prob(dist_params, next_pre)
         next_q = self._q_values(params.target_q, normalizer, batch["next_obs"], next_action)
         next_v = jnp.min(next_q, axis=-1) - alpha * next_logp
-        # bootstrap through truncation, not through true termination
+        # bootstrap through truncation, not through true termination —
+        # sound because next_obs stores the PRE-autoreset final observation
         not_terminal = 1.0 - batch["done"] * (1.0 - batch["truncation"])
         target = batch["reward"] * self.cfg.reward_scaling \
             + self.cfg.discounting * not_terminal * next_v
@@ -165,9 +166,10 @@ class SACLearner:
 
         def grad_step(ts: SACTrainingState, key):
             k1, k2, k3 = jax.random.split(key, 3)
-            batch = replay.sample(ts.buffer, k1, cfg.batch_size)
-            # flatten the (batch, num_envs, ...) sample into one SGD batch
-            batch = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), batch)
+            # batch_size INDIVIDUAL transitions (random slot AND env column) —
+            # whole-slot sampling would train on time-correlated blocks and
+            # make `batch_size` mean slots, not transitions
+            batch = replay.sample_transitions(ts.buffer, k1, cfg.batch_size)
 
             q_loss, q_grads = jax.value_and_grad(self._critic_loss)(
                 ts.params.q, ts.params, ts.normalizer, batch, k2)
@@ -204,11 +206,15 @@ class SACLearner:
                 pre = self.dist.sample_no_postprocess(dist_params, k_act)
                 action = self.dist.postprocess(pre)
                 nstate = self.env.step(env_state, action)
+                # next_obs must be the PRE-autoreset final observation — on a
+                # done step nstate.obs is already the next episode's initial
+                # obs (the autoreset wrappers expose the true one in
+                # info['final_obs'])
                 transition = {
                     "obs": env_state.obs,
                     "action": action,
                     "reward": nstate.reward,
-                    "next_obs": nstate.obs,
+                    "next_obs": nstate.info.get("final_obs", nstate.obs),
                     "done": nstate.done,
                     "truncation": nstate.info.get(
                         "truncation", jnp.zeros_like(nstate.done)),

@@ -49,3 +49,46 @@ def test_sac_trains_and_infers():
     det = inf_fn(params, obs, jax.random.PRNGKey(0), deterministic=True)
     det2 = inf_fn(params, obs, jax.random.PRNGKey(1), deterministic=True)
     np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+
+
+def test_replay_sample_transitions_decorrelates():
+    # storage (capacity, columns, feat): draws must mix slots AND columns
+    sample = {"x": jnp.zeros((4, 2))}
+    st = replay.init(sample, capacity=8)
+    for i in range(8):
+        st = replay.insert(
+            st, {"x": jnp.arange(8, dtype=jnp.float32).reshape(4, 2) + 10 * i})
+    batch = replay.sample_transitions(st, jax.random.PRNGKey(3), 64)
+    assert batch["x"].shape == (64, 2)
+    vals = np.asarray(batch["x"][:, 0])
+    # values are 10*slot + 2*col: many distinct slots and both parities of col
+    assert len(np.unique(vals // 10)) > 3
+    assert len(np.unique(vals % 10)) > 1
+
+
+def test_sac_transition_next_obs_is_pre_reset():
+    # with episode_length 2, every 2nd step truncates: the stored next_obs
+    # must be the pre-reset (nonzero for Fast) observation
+    from pobrax_tpu.envs import wrappers
+    from pobrax_tpu.envs.fast import Fast
+
+    env = wrappers.EpisodeWrapper(Fast(), episode_length=2, action_repeat=1)
+    env = wrappers.VmapWrapper(env, batch_size=2)
+    env = wrappers.RandomizedAutoResetWrapperNaive(env)
+    learner = sac.SACLearner(env, sac.SACConfig(
+        num_envs=2, episode_length=2, replay_capacity=16, batch_size=2,
+        steps_per_epoch=4, min_replay=1000))  # min_replay high: no grads
+    key = jax.random.PRNGKey(0)
+    env_state = jax.jit(env.reset)(jax.random.split(key, 2))
+    ts = learner.init(key, env_state)
+    epoch = jax.jit(learner.build_epoch_fn())
+    ts, env_state, _ = epoch(ts, env_state, jax.random.PRNGKey(1))
+    data = ts.buffer.data
+    done = np.asarray(data["done"][:4])
+    next_obs = np.asarray(data["next_obs"][:4])
+    done_slots = np.where(done.any(axis=-1))[0]
+    assert len(done_slots) > 0
+    for s in done_slots:
+        # pre-reset obs of Fast after 2 ±dt steps always has nonzero position
+        # (a freshly reset obs would be exactly zero)
+        assert np.all(np.abs(next_obs[s][:, 0]) > 0.0)

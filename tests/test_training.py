@@ -147,3 +147,22 @@ def test_evaluate_runs_on_device():
     stats = ppo.evaluate(env, inf_fn, params, num_episodes=4, episode_length=10)
     assert set(stats) == {"eval/mean_return", "eval/std_return", "eval/mean_length"}
     assert 0 < stats["eval/mean_length"] <= 10
+
+
+def test_gae_truncation_masks_boundary():
+    # truncation at t=1: its delta is masked AND the next episode's GAE does
+    # not leak backwards across the boundary (brax v0 compute_gae semantics)
+    rewards = jnp.array([[1.0], [1.0], [1.0]])
+    dones = jnp.array([[0.0], [1.0], [0.0]])
+    trunc = jnp.array([[0.0], [1.0], [0.0]])
+    values = jnp.array([[0.5], [0.25], [0.125]])
+    bootstrap = jnp.array([0.0625])
+    g, lam = 0.9, 0.8
+    adv, ret = ppo.compute_gae(rewards, dones, trunc, values, bootstrap, g, lam)
+    assert float(adv[1, 0]) == 0.0  # truncated step carries no advantage
+    # t=0 sees only its own delta: the accumulator was cut at the boundary
+    delta0 = 1.0 + g * 0.25 - 0.5
+    np.testing.assert_allclose(float(adv[0, 0]), delta0, rtol=1e-6)
+    # t=2 is an ordinary step bootstrapping into bootstrap_value
+    delta2 = 1.0 + g * 0.0625 - 0.125
+    np.testing.assert_allclose(float(adv[2, 0]), delta2, rtol=1e-6)

@@ -180,3 +180,35 @@ class TestFactory:
         s = jax.jit(env.step)(s, jnp.zeros((4, 8)))
         assert s.obs.shape == (4, 114)
         assert "eval_metrics" in s.info
+
+
+class TestFinalObs:
+    """info['final_obs'] must carry the PRE-autoreset observation."""
+
+    def test_naive_final_obs_is_pre_reset(self):
+        from pobrax_tpu.envs.fast import Fast
+
+        env = wrappers.EpisodeWrapper(Fast(), episode_length=2, action_repeat=1)
+        env = wrappers.VmapWrapper(env, batch_size=3)
+        env = wrappers.RandomizedAutoResetWrapperNaive(env)
+        state, _ = _batched_reset(env, 3)
+        act = jnp.ones((3, 1))
+        step = jax.jit(env.step)
+        state = step(state, act)
+        state = step(state, act)  # episode_length hit -> done+truncation
+        assert bool(jnp.all(state.done == 1.0))
+        # obs was replaced by the fresh reset (zeros for Fast)...
+        np.testing.assert_array_equal(np.asarray(state.obs), 0.0)
+        # ...but final_obs kept the stepped, nonzero observation
+        assert bool(jnp.all(jnp.abs(state.info["final_obs"][:, 0]) > 0.0))
+
+    def test_final_obs_equals_obs_mid_episode(self):
+        from pobrax_tpu.envs.fast import Fast
+
+        env = wrappers.EpisodeWrapper(Fast(), episode_length=100, action_repeat=1)
+        env = wrappers.VmapWrapper(env, batch_size=2)
+        env = wrappers.RandomizedAutoResetWrapperNaive(env)
+        state, _ = _batched_reset(env, 2)
+        state = jax.jit(env.step)(state, jnp.ones((2, 1)))
+        np.testing.assert_array_equal(
+            np.asarray(state.obs), np.asarray(state.info["final_obs"]))

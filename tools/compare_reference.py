@@ -1,33 +1,63 @@
-"""Cross-implementation fixed-seed comparison against the reference po-brax.
+"""Cross-implementation trajectory parity: record/replay fixture protocol.
 
 BASELINE.json configs 1-3 call for bit-exact AntHeavenHell/AntTag/AntGather
-rollouts vs the reference. The reference's physics lives in external
-`brax>=0.0.12`, which is NOT installed in the build container, so this
-comparison cannot run there; this tool is the executable pathway for any
-environment that has it:
+fixed-seed rollouts vs the reference po-brax. The reference's physics lives
+in external `brax>=0.0.12`, which is NOT installed in the build container, so
+a live two-process comparison cannot run there. This tool therefore speaks a
+*fixture* protocol that decouples the two sides:
 
-    pip install brax==0.0.12 gym==0.21 protobuf==3.20
-    python tools/compare_reference.py ant_tag --steps 100 --seed 7
+  dump    — roll out an env (either implementation) and record
+            (reset_obs, obs[T], reward[T], done[T], actions[T]) plus
+            metadata to a .npz fixture:
 
-It constructs both envs, drives them with the same action sequence from the
-same PRNG key, and reports per-step max |obs diff| / reward diff / done
-mismatches. Exact agreement additionally requires matching float32 op order
-inside brax's engine; the realistic acceptance gate is trajectory
-equivalence within float32 drift (SURVEY.md §7 item 3's pragmatic
-fallback), tightened as discrepancies are root-caused.
+              # here (our side), or anywhere:
+              python tools/compare_reference.py dump ant_tag \
+                  --steps 100 --seed 7 --impl ours --out ant_tag_s7.npz
+
+              # on any machine with the reference installed
+              # (pip install brax==0.0.12 gym==0.21 protobuf==3.20):
+              python tools/compare_reference.py dump ant_tag \
+                  --steps 100 --seed 7 --impl reference --out ref_ant_tag_s7.npz
+
+  replay  — re-run OUR implementation against a fixture's recorded action
+            sequence and seed, and report/assert the deltas:
+
+              python tools/compare_reference.py replay ref_ant_tag_s7.npz --tol 1e-5
+
+  compare — legacy live mode: run both implementations in-process (needs
+            brax installed) and diff directly.
+
+The committed fixtures under tests/fixtures/ were dumped with --impl ours
+and are replay-asserted in tests/test_replay_fixtures.py — demonstrating the
+protocol end-to-end and locking full env-level trajectories (physics + task
+logic + action interface) independently of the physics-only goldens. Drop a
+reference-side fixture into the same directory and the identical code path
+becomes the cross-implementation check.
+
+Actions are stored as data (not re-derived from PRNG), so replay only
+requires the env's internal PRNG consumption to match — which is exactly the
+quirk-parity surface (rng3 reuse, ant_indices including Ground, etc.) the
+envs reproduce deliberately. The realistic acceptance gate vs the reference
+is trajectory equivalence within float32 drift (SURVEY.md §7 item 3),
+tightened as discrepancies are root-caused.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 import numpy as np
 
 sys.path.insert(0, ".")
 
+FIXTURE_VERSION = 1
 
-def run_ours(env_name: str, steps: int, seed: int):
+
+def run_ours(env_name: str, steps: int, seed: int, actions=None):
+    """Rollout of our implementation; samples uniform actions when none are
+    given (recording them), else replays the provided sequence."""
     import jax
     import jax.numpy as jnp
 
@@ -37,21 +67,35 @@ def run_ours(env_name: str, steps: int, seed: int):
     key = jax.random.PRNGKey(seed)
     state = jax.jit(env.reset)(key)
 
-    def roll(state, key):
-        def body(carry, _):
-            state, key = carry
-            key, k = jax.random.split(key)
-            a = jax.random.uniform(k, (env.action_size,), minval=-1.0, maxval=1.0)
-            state = env.step(state, a)
-            return (state, key), (state.obs, state.reward, state.done, a)
-        return jax.lax.scan(body, (state, key), None, length=steps)
+    if actions is None:
+        def roll(state, key):
+            def body(carry, _):
+                state, key = carry
+                key, k = jax.random.split(key)
+                a = jax.random.uniform(
+                    k, (env.action_size,), minval=-1.0, maxval=1.0)
+                state = env.step(state, a)
+                return (state, key), (state.obs, state.reward, state.done, a)
+            return jax.lax.scan(body, (state, key), None, length=steps)
 
-    (_, _), (obs, rew, done, acts) = jax.jit(roll)(state, key)
+        (_, _), (obs, rew, done, acts) = jax.jit(roll)(state, key)
+    else:
+        acts = jnp.asarray(actions)
+
+        def roll(state, acts):
+            def body(state, a):
+                state = env.step(state, a)
+                return state, (state.obs, state.reward, state.done)
+            return jax.lax.scan(body, state, acts)
+
+        _, (obs, rew, done) = jax.jit(roll)(state, acts)
+
     return (np.asarray(state.obs), np.asarray(obs), np.asarray(rew),
             np.asarray(done), np.asarray(acts))
 
 
-def run_reference(env_name: str, steps: int, seed: int, actions: np.ndarray):
+def run_reference(env_name: str, steps: int, seed: int, actions=None):
+    """Rollout of the reference implementation (requires brax installed)."""
     try:
         import brax  # noqa: F401
     except ImportError:
@@ -60,12 +104,23 @@ def run_reference(env_name: str, steps: int, seed: int, actions: np.ndarray):
         sys.exit(2)
     sys.path.insert(0, "/root/reference")
     import jax
+    import jax.numpy as jnp
     from po_brax.envs import create as ref_create
 
     env = ref_create(env_name, episode_length=steps + 1, auto_reset=False)
-    import jax.numpy as jnp
-    state = jax.jit(env.reset)(jax.random.PRNGKey(seed))
+    key = jax.random.PRNGKey(seed)
+    state = jax.jit(env.reset)(key)
     obs0 = np.asarray(state.obs)
+    if actions is None:
+        # identical sampling scheme to run_ours, so both sides see the same
+        # action sequence for a given seed
+        acts = []
+        k = key
+        for _ in range(steps):
+            k, ka = jax.random.split(k)
+            acts.append(np.asarray(jax.random.uniform(
+                ka, (env.action_size,), minval=-1.0, maxval=1.0)))
+        actions = np.stack(acts)
     step = jax.jit(env.step)
     obs, rew, done = [], [], []
     for t in range(steps):
@@ -73,26 +128,85 @@ def run_reference(env_name: str, steps: int, seed: int, actions: np.ndarray):
         obs.append(np.asarray(state.obs))
         rew.append(float(state.reward))
         done.append(float(state.done))
-    return obs0, np.stack(obs), np.asarray(rew), np.asarray(done)
+    return obs0, np.stack(obs), np.asarray(rew), np.asarray(done), actions
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("env", choices=["ant_tag", "ant_heavenhell", "ant_gather"])
-    ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--seed", type=int, default=7)
-    args = ap.parse_args()
+def dump(env_name: str, steps: int, seed: int, impl: str, out: str) -> None:
+    runner = run_ours if impl == "ours" else run_reference
+    obs0, obs, rew, done, acts = runner(env_name, steps, seed)
+    np.savez_compressed(
+        out,
+        meta=json.dumps({
+            "version": FIXTURE_VERSION, "env": env_name, "steps": steps,
+            "seed": seed, "impl": impl,
+        }),
+        reset_obs=obs0, obs=obs, reward=rew, done=done, actions=acts)
+    print(f"wrote {out}: {impl} {env_name} seed={seed} T={steps} "
+          f"obs={obs.shape}")
 
-    obs0, obs, rew, done, acts = run_ours(args.env, args.steps, args.seed)
-    r_obs0, r_obs, r_rew, r_done = run_reference(
-        args.env, args.steps, args.seed, acts)
 
+def replay(path: str, tol: float) -> int:
+    """Replay a fixture against our implementation; returns #failures."""
+    fx = np.load(path)
+    meta = json.loads(str(fx["meta"]))
+    obs0, obs, rew, done, _ = run_ours(
+        meta["env"], meta["steps"], meta["seed"], actions=fx["actions"])
+
+    d0 = float(np.abs(obs0 - fx["reset_obs"]).max())
+    dt = np.abs(obs - fx["obs"]).max(axis=1)
+    dr = float(np.abs(rew - fx["reward"]).max())
+    dd = int((done != fx["done"]).sum())
+    print(f"fixture {path} ({meta['impl']} {meta['env']} seed={meta['seed']})")
+    print(f"  reset obs  max|diff| = {d0:.3e}")
+    print(f"  rollout    max|diff| = {dt.max():.3e} "
+          f"(worst step {int(dt.argmax())})")
+    print(f"  reward     max|diff| = {dr:.3e}")
+    print(f"  done mismatches      = {dd}/{meta['steps']}")
+    failures = int(d0 > tol) + int(dt.max() > tol) + int(dr > tol) + int(dd > 0)
+    print("  PASS" if failures == 0 else f"  FAIL (tol={tol})")
+    return failures
+
+
+def compare(env_name: str, steps: int, seed: int) -> None:
+    obs0, obs, rew, done, acts = run_ours(env_name, steps, seed)
+    r_obs0, r_obs, r_rew, r_done, _ = run_reference(
+        env_name, steps, seed, actions=acts)
     d0 = np.abs(obs0 - r_obs0).max()
     dt = np.abs(obs - r_obs).max(axis=1)
     print(f"reset obs  max|diff| = {d0:.3e}")
     print(f"rollout    max|diff| = {dt.max():.3e} (worst step {int(dt.argmax())})")
     print(f"reward     max|diff| = {np.abs(rew - r_rew).max():.3e}")
-    print(f"done mismatches      = {int((done != r_done).sum())}/{args.steps}")
+    print(f"done mismatches      = {int((done != r_done).sum())}/{steps}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    envs = ["ant_tag", "ant_heavenhell", "ant_gather"]
+    p = sub.add_parser("dump")
+    p.add_argument("env", choices=envs)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--impl", choices=["ours", "reference"], default="ours")
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("replay")
+    p.add_argument("fixture")
+    p.add_argument("--tol", type=float, default=1e-5)
+
+    p = sub.add_parser("compare")
+    p.add_argument("env", choices=envs)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--seed", type=int, default=7)
+
+    args = ap.parse_args()
+    if args.cmd == "dump":
+        dump(args.env, args.steps, args.seed, args.impl, args.out)
+    elif args.cmd == "replay":
+        sys.exit(1 if replay(args.fixture, args.tol) else 0)
+    else:
+        compare(args.env, args.steps, args.seed)
 
 
 if __name__ == "__main__":
