@@ -92,7 +92,9 @@ def main() -> None:
     if recorded:
         try:
             with open(recorded[0]) as f:
-                baseline = json.load(f).get("value")
+                rec = json.load(f)
+            # driver files wrap the bench line under "parsed"
+            baseline = rec.get("value") or rec.get("parsed", {}).get("value")
         except Exception:
             baseline = None
     vs = value / baseline if baseline else 1.0

