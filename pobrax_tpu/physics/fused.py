@@ -139,35 +139,38 @@ def _compile_cb_vec(rows, default_rot, inv_mass, inv_inertia):
     """Build-time constants for the (K,)-vectorized capsule-box phase.
 
     Only rows whose box body is fully frozen qualify (the caller filters):
-    the box world frame then folds to per-row constants — a (K,4) quaternion
-    becomes two constant (K,3,3) matrices, and the whole narrow phase runs as
-    dense (K,3) arithmetic instead of K scalar-unrolled SDF evaluations.
-    Rows are sorted by capsule body so per-body impulse accumulation is a
-    static contiguous-slice sum (no scatter)."""
-    rows = sorted(rows, key=lambda r: r["a"])
+    the box world frame then folds to per-row constants. Everything dynamic
+    is expressed as ELEMENTWISE ops only — rotations by the constant frame
+    are 9 scalar multiply-adds with (K,) constant columns (a dot_general
+    would break XLA fusion and materialize (B,K,3) intermediates to HBM, the
+    measured limiter of the wall phase), capsule endpoint broadcast is a
+    static-`repeats` jnp.repeat (compiles to concat-of-broadcasts, no
+    gather), and per-body impulse accumulation is a static contiguous-slice
+    sum (rows pre-sorted by capsule body — no scatter)."""
+    # sort so rows of one capsule (and therefore one body) are contiguous
+    def cap_key(r):
+        return (r["a"], tuple(r["e0"]), tuple(r["e1"]), r["radius"])
+
+    rows = sorted(rows, key=lambda r: (r["a"], cap_key(r)))
     K = len(rows)
 
-    # unique capsules (a, e0, e1, radius): world endpoints are computed once
-    # per capsule and broadcast to rows with a constant one-hot matmul
-    caps, cap_of_row = [], []
-    cap_key_to_idx = {}
+    # unique capsules in row order: world endpoints are computed once per
+    # capsule and broadcast to its contiguous row range by static repeat
+    caps, cap_repeats = [], []
     for r in rows:
-        key = (r["a"], tuple(r["e0"]), tuple(r["e1"]), r["radius"])
-        if key not in cap_key_to_idx:
-            cap_key_to_idx[key] = len(caps)
-            caps.append((r["a"], tuple(r["e0"]), tuple(r["e1"])))
-        cap_of_row.append(cap_key_to_idx[key])
-    C = len(caps)
-    m_cap = np.zeros((K, C), np.float32)
-    m_cap[np.arange(K), cap_of_row] = 1.0
+        key = (r["a"], tuple(r["e0"]), tuple(r["e1"]))
+        if caps and caps[-1] == key:
+            cap_repeats[-1] += 1
+        else:
+            caps.append(key)
+            cap_repeats.append(1)
 
-    # unique box bodies (dynamic positions; frozen rotations are constants)
+    # unique box bodies (dynamic positions; frozen rotations are constants);
+    # per-body 0/1 column masks -> box_pos as Ub fused multiply-adds
     uniq_b = sorted({r["b"] for r in rows})
-    b_slot = {b: i for i, b in enumerate(uniq_b)}
-    m_box = np.zeros((K, len(uniq_b)), np.float32)
+    b_mask = np.zeros((len(uniq_b), K, 1), np.float32)
 
     rot_w = np.zeros((K, 3, 3), np.float32)   # box local -> world
-    rot_wt = np.zeros((K, 3, 3), np.float32)  # world -> box local
     box_off_w = np.zeros((K, 3), np.float32)  # rotate(box_pos_local, rot_b)
     halfsize = np.zeros((K, 3), np.float32)
     radius = np.zeros((K,), np.float32)
@@ -175,12 +178,10 @@ def _compile_cb_vec(rows, default_rot, inv_mass, inv_inertia):
     inertia_a = np.zeros((K, 3), np.float32)
     for k, r in enumerate(rows):
         b = r["b"]
-        m_box[k, b_slot[b]] = 1.0
+        b_mask[uniq_b.index(b), k, 0] = 1.0
         q_b = default_rot[b]
         box_q = _qmul_f(q_b, tuple(r["box_quat"]))
-        m = np.array(_quat_mat_f(box_q), np.float64)
-        rot_w[k] = m
-        rot_wt[k] = m.T
+        rot_w[k] = np.array(_quat_mat_f(box_q), np.float64)
         box_off_w[k] = _qrot_f(tuple(r["box_pos"]), q_b)
         halfsize[k] = r["halfsize"]
         radius[k] = r["radius"]
@@ -196,8 +197,12 @@ def _compile_cb_vec(rows, default_rot, inv_mass, inv_inertia):
             lo = k
 
     return dict(
-        caps=caps, m_cap=m_cap, uniq_b=uniq_b, m_box=m_box,
-        rot_w=rot_w, rot_wt=rot_wt, box_off_w=box_off_w,
+        caps=[(a, e0, e1) for (a, e0, e1) in caps],
+        cap_repeats=np.asarray(cap_repeats, np.int32),
+        uniq_b=uniq_b, b_mask=b_mask,
+        # rotation matrix as 9 (K,) constant columns for elementwise use
+        rot_cols=[[rot_w[:, i, j].copy() for j in range(3)] for i in range(3)],
+        box_off_w=box_off_w,
         halfsize=halfsize, radius=radius, invm_a=invm_a, inertia_a=inertia_a,
         body_slices=body_slices,
     )
@@ -468,13 +473,21 @@ def make_fused_step(sys) -> callable:
             if cb_vec is not None:
                 cv = cb_vec
                 dt_ = qp.pos.dtype
+                reps = cv["cap_repeats"]
+                K_rows = int(reps.sum())
 
-                def pack3(ts):
-                    return jnp.stack(
-                        [jnp.stack([jnp.asarray(v, dt_) for v in t]) for t in ts])
+                def rep(ts):
+                    """C per-capsule scalar 3-tuples -> 3 (K,) columns via
+                    static repeat (concat of broadcasts; no gather/matmul)."""
+                    cols = []
+                    for c_ in range(3):
+                        col = jnp.stack([jnp.asarray(t[c_], dt_) for t in ts],
+                                        -1)  # (..., C)
+                        cols.append(jnp.repeat(col, reps, axis=-1,
+                                               total_repeat_length=K_rows))
+                    return cols
 
-                # world endpoints once per unique capsule (scalar, ~C ops),
-                # broadcast to rows by constant one-hot matmul (no gathers)
+                # world endpoints once per unique capsule (scalar, ~C ops)
                 E0, E1, PA, VA, AA = [], [], [], [], []
                 for (ca, e0l, e1l) in cv["caps"]:
                     qa = rot_of(ca)
@@ -483,89 +496,126 @@ def make_fused_step(sys) -> callable:
                     PA.append(pos[ca])
                     VA.append(vel_of(ca))
                     AA.append(ang_of(ca))
-                mc = jnp.asarray(cv["m_cap"], dt_)  # (K, C)
-                e0w = mc @ pack3(E0)  # (K, 3)
-                e1w = mc @ pack3(E1)
-                pa = mc @ pack3(PA)
-                va = mc @ pack3(VA)
-                aa = mc @ pack3(AA)
+                e0w = rep(E0)  # 3 x (..., K)
+                e1w = rep(E1)
+                pa = rep(PA)
+                va = rep(VA)
+                aa = rep(AA)
 
-                pb = pack3([pos[bb] for bb in cv["uniq_b"]])
-                box_pos_k = jnp.asarray(cv["m_box"], dt_) @ pb \
-                    + jnp.asarray(cv["box_off_w"], dt_)  # (K, 3)
+                # box_pos per row: Ub fused multiply-adds over 0/1 masks
+                off = jnp.asarray(cv["box_off_w"], dt_)
+                box_pos_k = [off[:, c_] for c_ in range(3)]
+                for u, bb in enumerate(cv["uniq_b"]):
+                    mask = jnp.asarray(cv["b_mask"][u, :, 0], dt_)  # (K,)
+                    pbb = pos[bb]
+                    box_pos_k = [box_pos_k[c_] + mask * pbb[c_]
+                                 for c_ in range(3)]
 
-                rot_w = jnp.asarray(cv["rot_w"], dt_)    # (K,3,3) local->world
-                rot_wt = jnp.asarray(cv["rot_wt"], dt_)  # (K,3,3) world->local
-                s0 = jnp.einsum("kij,...kj->...ki", rot_wt, e0w - box_pos_k)
-                s1 = jnp.einsum("kij,...kj->...ki", rot_wt, e1w - box_pos_k)
-                dseg = s1 - s0
-                den = jnp.maximum(jnp.sum(dseg * dseg, -1), 1e-8)
-                tmid = jnp.clip(-jnp.sum(s0 * dseg, -1) / den, 0.0, 1.0)
-                smid = s0 + tmid[..., None] * dseg
+                # constant rotation as 9 (K,) columns; R @ v and R^T @ v are
+                # pure elementwise multiply-adds (XLA fuses the whole phase)
+                R = [[jnp.asarray(cv["rot_cols"][i][j], dt_) for j in range(3)]
+                     for i in range(3)]
 
-                h_k = jnp.asarray(cv["halfsize"], dt_)  # (K, 3)
-                rad_k = jnp.asarray(cv["radius"], dt_)  # (K,)
+                def to_local(v):  # R^T @ v
+                    return [R[0][i] * v[0] + R[1][i] * v[1] + R[2][i] * v[2]
+                            for i in range(3)]
+
+                def to_world(v):  # R @ v
+                    return [R[i][0] * v[0] + R[i][1] * v[1] + R[i][2] * v[2]
+                            for i in range(3)]
+
+                def v_sub(x, y):
+                    return [x[i] - y[i] for i in range(3)]
+
+                def v_add(x, y):
+                    return [x[i] + y[i] for i in range(3)]
+
+                def v_dot(x, y):
+                    return x[0] * y[0] + x[1] * y[1] + x[2] * y[2]
+
+                def v_scale(x, s):
+                    return [x[i] * s for i in range(3)]
+
+                def v_cross(x, y):
+                    return [x[1] * y[2] - x[2] * y[1],
+                            x[2] * y[0] - x[0] * y[2],
+                            x[0] * y[1] - x[1] * y[0]]
+
+                s0 = to_local(v_sub(e0w, box_pos_k))
+                s1 = to_local(v_sub(e1w, box_pos_k))
+                dseg = v_sub(s1, s0)
+                den = jnp.maximum(v_dot(dseg, dseg), 1e-8)
+                tmid = jnp.clip(-v_dot(s0, dseg) / den, 0.0, 1.0)
+                smid = v_add(s0, v_scale(dseg, tmid))
+
+                h_k = [jnp.asarray(cv["halfsize"][:, c_], dt_) for c_ in range(3)]
+                rad_k = jnp.asarray(cv["radius"], dt_)
                 invm_k = jnp.asarray(cv["invm_a"], dt_)
-                ia_k = jnp.asarray(cv["inertia_a"], dt_)  # (K, 3)
+                ia_k = [jnp.asarray(cv["inertia_a"][:, c_], dt_) for c_ in range(3)]
 
-                J = TQ = 0.0
+                J = [0.0, 0.0, 0.0]
+                TQ = [0.0, 0.0, 0.0]
                 for p in (s0, s1, smid):
                     # point-box SDF, same math as the scalar branch above
-                    qc = jnp.clip(p, -h_k, h_k)
-                    dl = p - qc
-                    dist = jnp.sqrt(jnp.maximum(jnp.sum(dl * dl, -1), 1e-24))
+                    qc = [jnp.clip(p[c_], -h_k[c_], h_k[c_]) for c_ in range(3)]
+                    dl = v_sub(p, qc)
+                    dist = jnp.sqrt(jnp.maximum(v_dot(dl, dl), 1e-24))
                     outside = dist > 1e-8
-                    n_out = dl / jnp.maximum(dist, 1e-8)[..., None]
+                    inv_d = 1.0 / jnp.maximum(dist, 1e-8)
+                    n_out = v_scale(dl, inv_d)
                     pen_out = rad_k - dist
-                    face = h_k - jnp.abs(p)
-                    fx, fy, fz = face[..., 0], face[..., 1], face[..., 2]
-                    kx = fx <= jnp.minimum(fy, fz)
-                    ky = (~kx) & (fy <= fz)
+                    face = [h_k[c_] - jnp.abs(p[c_]) for c_ in range(3)]
+                    kx = face[0] <= jnp.minimum(face[1], face[2])
+                    ky = (~kx) & (face[1] <= face[2])
                     kz = (~kx) & (~ky)
-                    onehot = jnp.stack([kx, ky, kz], -1).astype(dt_)
-                    sgn = jnp.where(jnp.sum(p * onehot, -1) >= 0.0, 1.0, -1.0)
-                    n_in = sgn[..., None] * onehot
-                    pen_in = rad_k + jnp.min(face, -1)
-                    q_in = p * (1.0 - onehot) \
-                        + (sgn * jnp.sum(h_k * onehot, -1))[..., None] * onehot
-                    normal_l = jnp.where(outside[..., None], n_out, n_in)
+                    ks = [kx.astype(dt_), ky.astype(dt_), kz.astype(dt_)]
+                    sel = v_dot(p, ks)
+                    sgn = jnp.where(sel >= 0.0, 1.0, -1.0)
+                    n_in = [sgn * ks[c_] for c_ in range(3)]
+                    pen_in = rad_k + jnp.minimum(face[0],
+                                                 jnp.minimum(face[1], face[2]))
+                    q_in = [p[c_] * (1.0 - ks[c_])
+                            + sgn * h_k[c_] * ks[c_] for c_ in range(3)]
+                    normal_l = [jnp.where(outside, n_out[c_], n_in[c_])
+                                for c_ in range(3)]
                     pen = jnp.where(outside, pen_out, pen_in)
-                    pos_l = jnp.where(outside[..., None], qc, q_in)
-                    normal = jnp.einsum("kij,...kj->...ki", rot_w, normal_l)
-                    cpos = box_pos_k + jnp.einsum("kij,...kj->...ki", rot_w, pos_l)
+                    pos_l = [jnp.where(outside, qc[c_], q_in[c_])
+                             for c_ in range(3)]
+                    normal = to_world(normal_l)
+                    cpos = v_add(box_pos_k, to_world(pos_l))
 
                     # one-shot impulse; box body frozen => only `a` terms
-                    r_a = cpos - pa
-                    v_a = va + jnp.cross(aa, r_a)
-                    vn = jnp.sum(v_a * normal, -1)
-                    cra = jnp.cross(r_a, normal)
-                    ang_term = jnp.sum(normal * jnp.cross(ia_k * cra, r_a), -1)
+                    r_a = v_sub(cpos, pa)
+                    v_a = v_add(va, v_cross(aa, r_a))
+                    vn = v_dot(v_a, normal)
+                    cra = v_cross(r_a, normal)
+                    iacra = [ia_k[c_] * cra[c_] for c_ in range(3)]
+                    ang_term = v_dot(normal, v_cross(iacra, r_a))
                     denom = jnp.maximum(invm_k + ang_term, 1e-8)
                     imp = (-(1.0 + elasticity) * vn
                            + baumgarte * jnp.maximum(pen, 0.0)) / denom
                     live = (pen > 0.0) & (imp > 0.0)
                     imp = jnp.where(live, imp, 0.0)
-                    v_t = v_a - vn[..., None] * normal
-                    vt_n = jnp.sqrt(jnp.maximum(jnp.sum(v_t * v_t, -1), 1e-24))
+                    v_t = v_sub(v_a, v_scale(normal, vn))
+                    vt_n = jnp.sqrt(jnp.maximum(v_dot(v_t, v_t), 1e-24))
                     imp_d = jnp.minimum(vt_n / denom, friction * imp)
                     imp_d = jnp.where(live & (vt_n > 1e-8), imp_d, 0.0)
                     scale_t = imp_d / jnp.maximum(vt_n, 1e-8)
-                    j = imp[..., None] * normal - v_t * scale_t[..., None]
-                    J = J + j
-                    TQ = TQ + jnp.cross(r_a, j)
+                    j = v_sub(v_scale(normal, imp), v_scale(v_t, scale_t))
+                    J = v_add(J, j)
+                    TQ = v_add(TQ, v_cross(r_a, j))
 
                 # per-body accumulation: rows are pre-sorted by body, so each
                 # body's rows are one static contiguous slice (no scatter)
                 for (bi, lo, hi) in cv["body_slices"]:
-                    jj = jnp.sum(J[..., lo:hi, :], -2)
-                    tt = jnp.sum(TQ[..., lo:hi, :], -2)
+                    jj = [jnp.sum(J[c_][..., lo:hi], -1) for c_ in range(3)]
+                    tt = [jnp.sum(TQ[c_][..., lo:hi], -1) for c_ in range(3)]
                     im = inv_mass[bi]
                     ii = inv_inertia[bi]
-                    dvel[bi] = _add(dvel[bi], (im * jj[..., 0], im * jj[..., 1],
-                                               im * jj[..., 2]))
-                    dang[bi] = _add(dang[bi], (ii[0] * tt[..., 0],
-                                               ii[1] * tt[..., 1],
-                                               ii[2] * tt[..., 2]))
+                    dvel[bi] = _add(dvel[bi], (im * jj[0], im * jj[1],
+                                               im * jj[2]))
+                    dang[bi] = _add(dang[bi], (ii[0] * tt[0], ii[1] * tt[1],
+                                               ii[2] * tt[2]))
 
             return dvel, dang
 
