@@ -17,15 +17,47 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
-from pobrax_tpu.envs import _envs  # noqa: E402
+from pobrax_tpu.envs import HAI_ACTION_REPEAT, _envs  # noqa: E402
 from pobrax_tpu.envs import wrappers  # noqa: E402
+from pobrax_tpu.envs.base import Wrapper  # noqa: E402
 from pobrax_tpu.training import ppo  # noqa: E402
 
 
-def tag_rate(env_core, act_fn, episodes=256, episode_length=1000, seed=0):
+class ShapedAntTag(Wrapper):
+    """TRAINING-TIME potential-based reward shaping for the sparse tag task:
+    r' = r + coef * (gamma * phi(s') - phi(s)), phi = -||ant_xy - tgt_xy||.
+
+    AntTag's true reward is fully sparse (+1 on tag, dying cost on death) and
+    a random policy tags ~never, so vanilla PPO gets zero gradient signal.
+    Potential-based shaping (Ng et al. 1999) leaves the optimal policy
+    unchanged; it uses the privileged full state (the target position even
+    when outside visible_radius), which is legitimate at TRAINING time —
+    evaluation reports the TRUE sparse tag rate on the unshaped env."""
+
+    def __init__(self, env, coef=1.0, gamma=0.97):
+        super().__init__(env)
+        self.coef = coef
+        self.gamma = gamma
+
+    def _dist(self, qp):
+        u = self.unwrapped
+        return jnp.linalg.norm(
+            qp.pos[u.torso_idx, :2] - qp.pos[u.target_idx, :2])
+
+    def step(self, state, action):
+        d0 = self._dist(state.qp)
+        nstate = self.env.step(state, action)
+        d1 = self._dist(nstate.qp)
+        shaped = nstate.reward + self.coef * (self.gamma * (-d1) - (-d0))
+        return nstate.replace(reward=shaped)
+
+
+def tag_rate(env_core, act_fn, episodes=256, episode_length=1000, seed=0,
+             action_repeat=1):
     """Fraction of parallel episodes that end via a tag (terminal reward +1;
     death and truncation do not count). One jitted scan, on-device."""
-    env = wrappers.EpisodeWrapper(env_core, episode_length, 1)
+    env = wrappers.ActionRepeatWrapper(env_core, action_repeat)
+    env = wrappers.EpisodeWrapper(env, episode_length, 1)
     env = wrappers.VmapWrapper(env, batch_size=episodes)
 
     def run(key):
@@ -51,12 +83,16 @@ def tag_rate(env_core, act_fn, episodes=256, episode_length=1000, seed=0):
     return float(jax.jit(run)(jax.random.PRNGKey(seed)))
 
 
-def main(num_timesteps=30_000_000, num_envs=4096):
+def main(num_timesteps=60_000_000, num_envs=4096):
     env = _envs["ant_tag"]()
 
+    # NOTE: ActionRepeatWrapper mutates the wrapped System's dt/substeps, so
+    # train/eval each get their own env instance
     rand = tag_rate(
-        env, lambda obs, k: jax.random.uniform(
-            k, obs.shape[:-1] + (env.action_size,), minval=-1.0, maxval=1.0))
+        _envs["ant_tag"](),
+        lambda obs, k: jax.random.uniform(
+            k, obs.shape[:-1] + (env.action_size,), minval=-1.0, maxval=1.0),
+        action_repeat=HAI_ACTION_REPEAT)
     print(f"random-policy tag rate: {rand:.3f}", flush=True)
 
     history = []
@@ -72,10 +108,11 @@ def main(num_timesteps=30_000_000, num_envs=4096):
                   f"({entry['steps_per_second']:,.0f} steps/s)", flush=True)
 
     inference_fn, params, _ = ppo.train(
-        env,
+        ShapedAntTag(_envs["ant_tag"](), coef=1.0, gamma=0.97),
         num_timesteps=num_timesteps,
         num_envs=num_envs,
         episode_length=1000,
+        action_repeat=HAI_ACTION_REPEAT,
         unroll_length=16,
         num_minibatches=32,
         num_update_epochs=4,
@@ -88,7 +125,9 @@ def main(num_timesteps=30_000_000, num_envs=4096):
     )
 
     trained = tag_rate(
-        env, lambda obs, k: inference_fn(params, obs, k, deterministic=True))
+        _envs["ant_tag"](),
+        lambda obs, k: inference_fn(params, obs, k, deterministic=True),
+        action_repeat=HAI_ACTION_REPEAT)
     print(f"trained tag rate: {trained:.3f} (random: {rand:.3f})", flush=True)
 
     with open("docs/learning_ant_tag.json", "w") as f:

@@ -226,6 +226,77 @@ def _euler_xyz(q):
 _JOINT_AXES = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
 
 
+# ---- (K,)-column vector helpers (lists of 3 arrays, pure elementwise) ----------
+
+
+def _v_add(x, y):
+    return [x[i] + y[i] for i in range(3)]
+
+
+def _v_sub(x, y):
+    return [x[i] - y[i] for i in range(3)]
+
+
+def _v_dot(x, y):
+    return x[0] * y[0] + x[1] * y[1] + x[2] * y[2]
+
+
+def _v_scale(x, s):
+    return [x[i] * s for i in range(3)]
+
+
+def _v_cross(x, y):
+    return [x[1] * y[2] - x[2] * y[1],
+            x[2] * y[0] - x[0] * y[2],
+            x[0] * y[1] - x[1] * y[0]]
+
+
+def _compile_pp_vec(rows, default_rot, inv_mass, inv_inertia):
+    """Build-time constants for the (K,)-vectorized point-plane phase.
+
+    Rows against fully frozen planes (every Ground in the repo): the plane
+    normal and in-plane offset fold to constants; the per-row world point
+    still needs the point body's dynamic rot/pos (computed scalar, packed
+    into (K,) columns by stack — a fusable concatenate). Rows pre-sorted by
+    point body for static-slice accumulation."""
+    rows = sorted(rows, key=lambda r: r["a"])
+    K = len(rows)
+
+    uniq_b = sorted({r["b"] for r in rows})
+    b_mask = np.zeros((len(uniq_b), K), np.float32)
+    normal = np.zeros((K, 3), np.float32)
+    off_w = np.zeros((K, 3), np.float32)   # rotate(plane_pos_local, rot_b)
+    radius = np.zeros((K,), np.float32)
+    invm_a = np.zeros((K,), np.float32)
+    inertia_a = np.zeros((K, 3), np.float32)
+    points = []
+    for k, r in enumerate(rows):
+        b = r["b"]
+        b_mask[uniq_b.index(b), k] = 1.0
+        q_b = default_rot[b]
+        prot = _qmul_f(q_b, tuple(r["plane_quat"]))
+        normal[k] = _qrot_f((0.0, 0.0, 1.0), prot)
+        off_w[k] = _qrot_f(tuple(r["plane_pos"]), q_b)
+        radius[k] = r["radius"]
+        invm_a[k] = inv_mass[r["a"]]
+        inertia_a[k] = inv_inertia[r["a"]]
+        points.append((r["a"], tuple(r["point"])))
+
+    body_slices = []
+    lo = 0
+    for k in range(1, K + 1):
+        if k == K or rows[k]["a"] != rows[lo]["a"]:
+            body_slices.append((rows[lo]["a"], lo, k))
+            lo = k
+
+    return dict(
+        points=points, uniq_b=uniq_b, b_mask=b_mask,
+        normal_cols=[normal[:, c].copy() for c in range(3)],
+        off_w=off_w, radius=radius, invm_a=invm_a, inertia_a=inertia_a,
+        body_slices=body_slices,
+    )
+
+
 def make_fused_step(sys) -> callable:
     """Build a scalar-unrolled `step(qp, act) -> (qp, Info)` for `sys`."""
     n = sys.num_bodies
@@ -309,6 +380,18 @@ def make_fused_step(sys) -> callable:
         cb_scalar_rows = cb_rows
         cb_vec = None
 
+    # same treatment for point-plane rows (ground contacts): the resolve
+    # math vectorizes over (K,) columns; only the per-row world point stays
+    # scalar (needs the point body's dynamic rotation)
+    pp_vec_min = int(os.environ.get("POBRAX_PP_VEC_MIN", "8"))
+    _pp_frozen = [r for r in pp_rows if frozen[r["b"]]]
+    if len(_pp_frozen) >= pp_vec_min:
+        pp_scalar_rows = [r for r in pp_rows if not frozen[r["b"]]]
+        pp_vec = _compile_pp_vec(_pp_frozen, default_rot, inv_mass, inv_inertia)
+    else:
+        pp_scalar_rows = pp_rows
+        pp_vec = None
+
     def step(qp: QP, act: jnp.ndarray) -> Tuple[QP, Info]:
         # ---- scalar pack/unpack helpers ---------------------------------------
         def unpack(arr, k):
@@ -374,7 +457,7 @@ def make_fused_step(sys) -> callable:
                     tb = _cross(r_b, _scale(j, -1.0))
                     dang[b] = _add(dang[b], (ib[0] * tb[0], ib[1] * tb[1], ib[2] * tb[2]))
 
-            for r in pp_rows:
+            for r in pp_scalar_rows:
                 a, b = r["a"], r["b"]
                 p_w = _add(pos[a], _qrot(tuple(r["point"]), rot_of(a)))
                 # frozen plane body => normal/plane offset fold to constants
@@ -384,6 +467,78 @@ def make_fused_step(sys) -> callable:
                 pen = r["radius"] - _dot(_sub(p_w, plane_pt), normal)
                 cpos = _sub(p_w, _scale(normal, r["radius"]))
                 resolve(a, b, cpos, normal, pen)
+
+            if pp_vec is not None:
+                pv = pp_vec
+                dt_ = qp.pos.dtype
+
+                # per-row world point, lever-arm source, and point-body
+                # velocity (scalar per row; stacking K scalars into (K,)
+                # columns is a fusable concatenate)
+                PW, PA2, VA2, AA2 = [], [], [], []
+                for (pa_i, plocal) in pv["points"]:
+                    qa = rot_of(pa_i)
+                    PW.append(_add(pos[pa_i], _qrot(plocal, qa)))
+                    PA2.append(pos[pa_i])
+                    VA2.append(vel_of(pa_i))
+                    AA2.append(ang_of(pa_i))
+
+                def cols(ts):
+                    return [jnp.stack([jnp.asarray(t[c_], dt_) for t in ts],
+                                      -1) for c_ in range(3)]
+
+                p_w = cols(PW)
+                pa2 = cols(PA2)
+                va2 = cols(VA2)
+                aa2 = cols(AA2)
+
+                off = jnp.asarray(pv["off_w"], dt_)
+                plane_pt = [off[:, c_] for c_ in range(3)]
+                for u, bb in enumerate(pv["uniq_b"]):
+                    mask = jnp.asarray(pv["b_mask"][u], dt_)  # (K,)
+                    pbb = pos[bb]
+                    plane_pt = [plane_pt[c_] + mask * pbb[c_]
+                                for c_ in range(3)]
+
+                n_k = [jnp.asarray(pv["normal_cols"][c_], dt_)
+                       for c_ in range(3)]
+                rad_k = jnp.asarray(pv["radius"], dt_)
+                invm_k = jnp.asarray(pv["invm_a"], dt_)
+                ia_k = [jnp.asarray(pv["inertia_a"][:, c_], dt_)
+                        for c_ in range(3)]
+
+                pen = rad_k - _v_dot(_v_sub(p_w, plane_pt), n_k)
+                cpos = _v_sub(p_w, _v_scale(n_k, rad_k))
+
+                # one-shot impulse; plane body frozen => only `a` terms
+                r_a = _v_sub(cpos, pa2)
+                v_a = _v_add(va2, _v_cross(aa2, r_a))
+                vn = _v_dot(v_a, n_k)
+                cra = _v_cross(r_a, n_k)
+                iacra = [ia_k[c_] * cra[c_] for c_ in range(3)]
+                ang_term = _v_dot(n_k, _v_cross(iacra, r_a))
+                denom = jnp.maximum(invm_k + ang_term, 1e-8)
+                imp = (-(1.0 + elasticity) * vn
+                       + baumgarte * jnp.maximum(pen, 0.0)) / denom
+                live = (pen > 0.0) & (imp > 0.0)
+                imp = jnp.where(live, imp, 0.0)
+                v_t = _v_sub(v_a, _v_scale(n_k, vn))
+                vt_n = jnp.sqrt(jnp.maximum(_v_dot(v_t, v_t), 1e-24))
+                imp_d = jnp.minimum(vt_n / denom, friction * imp)
+                imp_d = jnp.where(live & (vt_n > 1e-8), imp_d, 0.0)
+                scale_t = imp_d / jnp.maximum(vt_n, 1e-8)
+                j = _v_sub(_v_scale(n_k, imp), _v_scale(v_t, scale_t))
+                tq = _v_cross(r_a, j)
+
+                for (bi, lo, hi) in pv["body_slices"]:
+                    jj = [jnp.sum(j[c_][..., lo:hi], -1) for c_ in range(3)]
+                    tt = [jnp.sum(tq[c_][..., lo:hi], -1) for c_ in range(3)]
+                    im = inv_mass[bi]
+                    ii = inv_inertia[bi]
+                    dvel[bi] = _add(dvel[bi], (im * jj[0], im * jj[1],
+                                               im * jj[2]))
+                    dang[bi] = _add(dang[bi], (ii[0] * tt[0], ii[1] * tt[1],
+                                               ii[2] * tt[2]))
 
             for r in ss_rows:
                 a, b = r["a"], r["b"]
@@ -524,29 +679,12 @@ def make_fused_step(sys) -> callable:
                     return [R[i][0] * v[0] + R[i][1] * v[1] + R[i][2] * v[2]
                             for i in range(3)]
 
-                def v_sub(x, y):
-                    return [x[i] - y[i] for i in range(3)]
-
-                def v_add(x, y):
-                    return [x[i] + y[i] for i in range(3)]
-
-                def v_dot(x, y):
-                    return x[0] * y[0] + x[1] * y[1] + x[2] * y[2]
-
-                def v_scale(x, s):
-                    return [x[i] * s for i in range(3)]
-
-                def v_cross(x, y):
-                    return [x[1] * y[2] - x[2] * y[1],
-                            x[2] * y[0] - x[0] * y[2],
-                            x[0] * y[1] - x[1] * y[0]]
-
-                s0 = to_local(v_sub(e0w, box_pos_k))
-                s1 = to_local(v_sub(e1w, box_pos_k))
-                dseg = v_sub(s1, s0)
-                den = jnp.maximum(v_dot(dseg, dseg), 1e-8)
-                tmid = jnp.clip(-v_dot(s0, dseg) / den, 0.0, 1.0)
-                smid = v_add(s0, v_scale(dseg, tmid))
+                s0 = to_local(_v_sub(e0w, box_pos_k))
+                s1 = to_local(_v_sub(e1w, box_pos_k))
+                dseg = _v_sub(s1, s0)
+                den = jnp.maximum(_v_dot(dseg, dseg), 1e-8)
+                tmid = jnp.clip(-_v_dot(s0, dseg) / den, 0.0, 1.0)
+                smid = _v_add(s0, _v_scale(dseg, tmid))
 
                 h_k = [jnp.asarray(cv["halfsize"][:, c_], dt_) for c_ in range(3)]
                 rad_k = jnp.asarray(cv["radius"], dt_)
@@ -558,18 +696,18 @@ def make_fused_step(sys) -> callable:
                 for p in (s0, s1, smid):
                     # point-box SDF, same math as the scalar branch above
                     qc = [jnp.clip(p[c_], -h_k[c_], h_k[c_]) for c_ in range(3)]
-                    dl = v_sub(p, qc)
-                    dist = jnp.sqrt(jnp.maximum(v_dot(dl, dl), 1e-24))
+                    dl = _v_sub(p, qc)
+                    dist = jnp.sqrt(jnp.maximum(_v_dot(dl, dl), 1e-24))
                     outside = dist > 1e-8
                     inv_d = 1.0 / jnp.maximum(dist, 1e-8)
-                    n_out = v_scale(dl, inv_d)
+                    n_out = _v_scale(dl, inv_d)
                     pen_out = rad_k - dist
                     face = [h_k[c_] - jnp.abs(p[c_]) for c_ in range(3)]
                     kx = face[0] <= jnp.minimum(face[1], face[2])
                     ky = (~kx) & (face[1] <= face[2])
                     kz = (~kx) & (~ky)
                     ks = [kx.astype(dt_), ky.astype(dt_), kz.astype(dt_)]
-                    sel = v_dot(p, ks)
+                    sel = _v_dot(p, ks)
                     sgn = jnp.where(sel >= 0.0, 1.0, -1.0)
                     n_in = [sgn * ks[c_] for c_ in range(3)]
                     pen_in = rad_k + jnp.minimum(face[0],
@@ -582,28 +720,28 @@ def make_fused_step(sys) -> callable:
                     pos_l = [jnp.where(outside, qc[c_], q_in[c_])
                              for c_ in range(3)]
                     normal = to_world(normal_l)
-                    cpos = v_add(box_pos_k, to_world(pos_l))
+                    cpos = _v_add(box_pos_k, to_world(pos_l))
 
                     # one-shot impulse; box body frozen => only `a` terms
-                    r_a = v_sub(cpos, pa)
-                    v_a = v_add(va, v_cross(aa, r_a))
-                    vn = v_dot(v_a, normal)
-                    cra = v_cross(r_a, normal)
+                    r_a = _v_sub(cpos, pa)
+                    v_a = _v_add(va, _v_cross(aa, r_a))
+                    vn = _v_dot(v_a, normal)
+                    cra = _v_cross(r_a, normal)
                     iacra = [ia_k[c_] * cra[c_] for c_ in range(3)]
-                    ang_term = v_dot(normal, v_cross(iacra, r_a))
+                    ang_term = _v_dot(normal, _v_cross(iacra, r_a))
                     denom = jnp.maximum(invm_k + ang_term, 1e-8)
                     imp = (-(1.0 + elasticity) * vn
                            + baumgarte * jnp.maximum(pen, 0.0)) / denom
                     live = (pen > 0.0) & (imp > 0.0)
                     imp = jnp.where(live, imp, 0.0)
-                    v_t = v_sub(v_a, v_scale(normal, vn))
-                    vt_n = jnp.sqrt(jnp.maximum(v_dot(v_t, v_t), 1e-24))
+                    v_t = _v_sub(v_a, _v_scale(normal, vn))
+                    vt_n = jnp.sqrt(jnp.maximum(_v_dot(v_t, v_t), 1e-24))
                     imp_d = jnp.minimum(vt_n / denom, friction * imp)
                     imp_d = jnp.where(live & (vt_n > 1e-8), imp_d, 0.0)
                     scale_t = imp_d / jnp.maximum(vt_n, 1e-8)
-                    j = v_sub(v_scale(normal, imp), v_scale(v_t, scale_t))
-                    J = v_add(J, j)
-                    TQ = v_add(TQ, v_cross(r_a, j))
+                    j = _v_sub(_v_scale(normal, imp), _v_scale(v_t, scale_t))
+                    J = _v_add(J, j)
+                    TQ = _v_add(TQ, _v_cross(r_a, j))
 
                 # per-body accumulation: rows are pre-sorted by body, so each
                 # body's rows are one static contiguous slice (no scatter)

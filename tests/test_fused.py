@@ -181,8 +181,10 @@ def test_fused_cb_vectorized_matches_scalar_and_generic(monkeypatch):
     """The vectorized capsule-box phase must agree with both the scalar
     fused branch and the generic path (same math, different summation)."""
     monkeypatch.setenv("POBRAX_CB_VEC_MIN", "1")
+    monkeypatch.setenv("POBRAX_PP_VEC_MIN", "1")
     sys_vec = _walled_system()
     monkeypatch.setenv("POBRAX_CB_VEC_MIN", "999")
+    monkeypatch.setenv("POBRAX_PP_VEC_MIN", "999")
     sys_scal = _walled_system()
     assert sys_vec._fused_step is not None
 
