@@ -121,37 +121,49 @@ def bench_ppo(env_name: str, devices, per_device_envs: int,
 
 def main() -> None:
     env_name = os.environ.get("BENCH_ENV", "ant_tag")
-    per_dev = int(os.environ.get("BENCH_PER_DEVICE_ENVS", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "100"))
     devices, platform = _devices()
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= len(devices)]
+
+    # Mode: on real accelerators, WEAK scaling (fixed per-device batch;
+    # ideal = linear throughput; efficiency = rate_N / (N * rate_1)). On
+    # virtual CPU devices — which SHARE the same host cores — weak scaling
+    # is physically meaningless, so default to STRONG (fixed total batch;
+    # ideal = flat time; efficiency = rate_N / rate_1, isolating the
+    # partitioning + collective overhead XLA adds for the sharded program).
+    mode = os.environ.get("BENCH_SCALING_MODE",
+                          "weak" if platform != "cpu" else "strong")
+    total = int(os.environ.get("BENCH_TOTAL_ENVS", "512"))
+    per_dev_weak = int(os.environ.get("BENCH_PER_DEVICE_ENVS", "256"))
 
     results = {}
     for prog in ("step", "ppo"):
         rates = {}
         for n in sizes:
+            per_dev = per_dev_weak if mode == "weak" else total // n
             if prog == "step":
                 rate = bench_step(env_name, devices[:n], per_dev, steps)
             else:
                 rate = bench_ppo(env_name, devices[:n], per_dev)
             rates[n] = rate
-            eff = rate / (n * rates[1]) if rates.get(1) else float("nan")
+            ideal = n * rates[1] if mode == "weak" else rates[1]
             print(json.dumps({
                 "program": prog, "devices": n, "platform": platform,
-                "env": env_name, "per_device_envs": per_dev,
+                "mode": mode, "env": env_name,
+                "envs_total": per_dev * n,
                 "env_steps_per_s": round(rate, 1),
-                "efficiency_vs_1dev": round(eff, 4),
+                "efficiency": round(rate / ideal, 4) if rates.get(1) else None,
             }), flush=True)
         results[prog] = rates
 
     n_max = sizes[-1]
+    ideal = (n_max if mode == "weak" else 1) * results["step"][1]
+    ideal_ppo = (n_max if mode == "weak" else 1) * results["ppo"][1]
     print(json.dumps({
-        "metric": f"scaling efficiency @ {n_max} devices ({platform})",
-        "value": round(results["step"][n_max]
-                       / (n_max * results["step"][1]), 4),
+        "metric": f"{mode}-scaling efficiency @ {n_max} devices ({platform})",
+        "value": round(results["step"][n_max] / ideal, 4),
         "unit": "fraction",
-        "ppo_efficiency": round(results["ppo"][n_max]
-                                / (n_max * results["ppo"][1]), 4),
+        "ppo_efficiency": round(results["ppo"][n_max] / ideal_ppo, 4),
     }))
 
 

@@ -25,7 +25,12 @@ from pobrax_tpu.training import ppo  # noqa: E402
 
 class ShapedAntTag(Wrapper):
     """TRAINING-TIME potential-based reward shaping for the sparse tag task:
-    r' = r + coef * (gamma * phi(s') - phi(s)), phi = -||ant_xy - tgt_xy||.
+    r' = r + coef * (phi(s') - phi(s)), phi = -||ant_xy - tgt_xy|| — the
+    pure progress form (shaping gamma = 1): with gamma < 1 the term
+    gamma*phi' - phi carries a standing (1-gamma)*d bonus that REWARDS
+    keeping the target far away (measured: trained tag rate 0.000 vs random
+    0.020); the telescoping gamma=1 form adds zero return to every complete
+    trajectory prefix and only redistributes it through time.
 
     AntTag's true reward is fully sparse (+1 on tag, dying cost on death) and
     a random policy tags ~never, so vanilla PPO gets zero gradient signal.
@@ -34,7 +39,7 @@ class ShapedAntTag(Wrapper):
     when outside visible_radius), which is legitimate at TRAINING time —
     evaluation reports the TRUE sparse tag rate on the unshaped env."""
 
-    def __init__(self, env, coef=1.0, gamma=0.97):
+    def __init__(self, env, coef=1.0, gamma=1.0):
         super().__init__(env)
         self.coef = coef
         self.gamma = gamma
@@ -83,7 +88,7 @@ def tag_rate(env_core, act_fn, episodes=256, episode_length=1000, seed=0,
     return float(jax.jit(run)(jax.random.PRNGKey(seed)))
 
 
-def main(num_timesteps=60_000_000, num_envs=4096):
+def main(num_timesteps=300_000_000, num_envs=4096):
     env = _envs["ant_tag"]()
 
     # NOTE: ActionRepeatWrapper mutates the wrapped System's dt/substeps, so
@@ -108,7 +113,7 @@ def main(num_timesteps=60_000_000, num_envs=4096):
                   f"({entry['steps_per_second']:,.0f} steps/s)", flush=True)
 
     inference_fn, params, _ = ppo.train(
-        ShapedAntTag(_envs["ant_tag"](), coef=1.0, gamma=0.97),
+        ShapedAntTag(_envs["ant_tag"](), coef=5.0),
         num_timesteps=num_timesteps,
         num_envs=num_envs,
         episode_length=1000,
@@ -117,9 +122,9 @@ def main(num_timesteps=60_000_000, num_envs=4096):
         num_minibatches=32,
         num_update_epochs=4,
         learning_rate=3e-4,
-        entropy_cost=1e-2,
+        entropy_cost=3e-3,
         discounting=0.97,
-        reward_scaling=0.1,
+        reward_scaling=1.0,
         seed=0,
         progress_fn=progress,
     )
@@ -128,11 +133,17 @@ def main(num_timesteps=60_000_000, num_envs=4096):
         _envs["ant_tag"](),
         lambda obs, k: inference_fn(params, obs, k, deterministic=True),
         action_repeat=HAI_ACTION_REPEAT)
-    print(f"trained tag rate: {trained:.3f} (random: {rand:.3f})", flush=True)
+    trained_stoch = tag_rate(
+        _envs["ant_tag"](),
+        lambda obs, k: inference_fn(params, obs, k),
+        action_repeat=HAI_ACTION_REPEAT, seed=1)
+    print(f"trained tag rate: det {trained:.3f} / stoch {trained_stoch:.3f} "
+          f"(random: {rand:.3f})", flush=True)
 
     with open("docs/learning_ant_tag.json", "w") as f:
         json.dump({"num_timesteps": num_timesteps, "num_envs": num_envs,
                    "random_tag_rate": rand, "trained_tag_rate": trained,
+                   "trained_tag_rate_stochastic": trained_stoch,
                    "curve": history}, f, indent=1)
     print("wrote docs/learning_ant_tag.json", flush=True)
 

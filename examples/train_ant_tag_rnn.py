@@ -1,0 +1,123 @@
+"""Recurrent PPO learns AntTag — the memory-based PO demonstration.
+
+examples/train_ant_tag.py establishes the negative result: feedforward PPO
+cannot exceed a 0.000 tag rate even with 300M shaped steps, because the
+parity observation design gives the target's ABSOLUTE xy (only within
+visible_radius) and never the ant's own position — a memoryless policy
+cannot form a pursuit direction, and its shaped optimum is standing still.
+That gap is the PO suite's point. A GRU policy (training/ppo_rnn.py) can
+dead-reckon its own position from the velocity observations and remember
+target sightings; this script trains it (same training-time potential
+shaping) and reports the TRUE sparse tag rate.
+
+Usage: python examples/train_ant_tag_rnn.py [num_timesteps] [num_envs]
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from pobrax_tpu.envs import HAI_ACTION_REPEAT, _envs  # noqa: E402
+from pobrax_tpu.envs import wrappers  # noqa: E402
+from pobrax_tpu.training import ppo_rnn  # noqa: E402
+from examples.train_ant_tag import ShapedAntTag, tag_rate  # noqa: E402
+
+
+def tag_rate_rnn(env_core, inference_fn, params, hidden_size, episodes=256,
+                 episode_length=1000, seed=0, action_repeat=1,
+                 deterministic=True):
+    """True sparse tag rate with a GRU policy (hidden state in the scan)."""
+    env = wrappers.ActionRepeatWrapper(env_core, action_repeat)
+    env = wrappers.EpisodeWrapper(env, episode_length, 1)
+    env = wrappers.VmapWrapper(env, batch_size=episodes)
+
+    def run(key):
+        k_reset, k_act = jax.random.split(key)
+        state = env.reset(jax.random.split(k_reset, episodes))
+        h0 = jnp.zeros((episodes, hidden_size))
+        alive0 = jnp.ones(episodes)
+
+        def body(carry, _):
+            state, h, alive, tagged, key = carry
+            key, k = jax.random.split(key)
+            h, act = inference_fn(params, h, state.obs, k,
+                                  deterministic=deterministic)
+            state = env.step(state, act)
+            tag = state.done * alive * (state.reward > 0.5)
+            tagged = jnp.maximum(tagged, tag)
+            alive = alive * (1.0 - state.done)
+            return (state, h, alive, tagged, key), None
+
+        (_, _, _, tagged, _), _ = jax.lax.scan(
+            body, (state, h0, alive0, jnp.zeros(episodes), k_act),
+            None, length=episode_length)
+        return tagged.mean()
+
+    return float(jax.jit(run)(jax.random.PRNGKey(seed)))
+
+
+def main(num_timesteps=150_000_000, num_envs=2048):
+    env = _envs["ant_tag"]()
+    rand = tag_rate(
+        _envs["ant_tag"](),
+        lambda obs, k: jax.random.uniform(
+            k, obs.shape[:-1] + (env.action_size,), minval=-1.0, maxval=1.0),
+        action_repeat=HAI_ACTION_REPEAT)
+    print(f"random-policy tag rate: {rand:.3f}", flush=True)
+
+    history = []
+
+    def progress(steps, metrics):
+        history.append({"steps": steps,
+                        "mean_reward": metrics.get("mean_reward"),
+                        "steps_per_second": metrics.get("steps_per_second")})
+        if len(history) % 20 == 0:
+            print(f"  {steps:>12,} steps  mean_reward="
+                  f"{history[-1]['mean_reward']:+.4f}  "
+                  f"({history[-1]['steps_per_second']:,.0f} steps/s)",
+                  flush=True)
+
+    hidden = 128
+    inference_fn, params, _ = ppo_rnn.train(
+        ShapedAntTag(_envs["ant_tag"](), coef=5.0),
+        num_timesteps=num_timesteps,
+        num_envs=num_envs,
+        episode_length=1000,
+        action_repeat=HAI_ACTION_REPEAT,
+        unroll_length=32,
+        num_minibatches=8,
+        num_update_epochs=4,
+        learning_rate=3e-4,
+        entropy_cost=3e-3,
+        discounting=0.97,
+        reward_scaling=1.0,
+        hidden_size=hidden,
+        encoder_sizes=(256,),
+        seed=0,
+        progress_fn=progress,
+    )
+
+    det = tag_rate_rnn(_envs["ant_tag"](), inference_fn, params, hidden,
+                       action_repeat=HAI_ACTION_REPEAT)
+    stoch = tag_rate_rnn(_envs["ant_tag"](), inference_fn, params, hidden,
+                         action_repeat=HAI_ACTION_REPEAT, seed=1,
+                         deterministic=False)
+    print(f"GRU tag rate: det {det:.3f} / stoch {stoch:.3f} "
+          f"(random: {rand:.3f})", flush=True)
+
+    with open("docs/learning_ant_tag_rnn.json", "w") as f:
+        json.dump({"num_timesteps": num_timesteps, "num_envs": num_envs,
+                   "hidden_size": hidden,
+                   "random_tag_rate": rand, "trained_tag_rate_det": det,
+                   "trained_tag_rate_stochastic": stoch,
+                   "curve": history}, f, indent=1)
+    print("wrote docs/learning_ant_tag_rnn.json", flush=True)
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:3]]
+    main(*args)
