@@ -34,6 +34,11 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 import jax
 import jax.numpy as jnp
 
+# BENCH_PLATFORM=cpu forces the virtual CPU mesh even when a TPU is visible
+# (the container's sitecustomize ignores JAX_PLATFORMS; jax.config works)
+if os.environ.get("BENCH_PLATFORM") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 
 def _devices():
     tpu = [d for d in jax.devices() if d.platform != "cpu"]

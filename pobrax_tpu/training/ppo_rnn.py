@@ -298,11 +298,19 @@ def train(
     seed: int = 0,
     mesh: Optional[jax.sharding.Mesh] = None,
     progress_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1_000_000,
     **cfg_overrides,
 ):
     """Train recurrent PPO on a core env; returns
     (inference_fn, params_tuple, history). inference_fn threads a GRU hidden
-    state: `h, action = inference_fn(params_tuple, h, obs, key)`."""
+    state: `h, action = inference_fn(params_tuple, h, obs, key)`.
+
+    With `checkpoint_dir`, training state is saved every `checkpoint_every`
+    env-steps and resumed from the latest step dir (same crash-recovery
+    contract as ppo.train; env state and hidden state restart fresh — only
+    params/optimizer/normalizer/epoch survive, which is the standard
+    recurrent-PPO resume)."""
     from pobrax_tpu.envs import wrappers
 
     cfg = dataclasses.replace(cfg or RNNPPOConfig(), **cfg_overrides)
@@ -315,6 +323,15 @@ def train(
     key = jax.random.PRNGKey(seed)
     key, k_init, k_reset = jax.random.split(key, 3)
     ts = learner.init(k_init)
+    resumed_steps = 0
+    if checkpoint_dir is not None:
+        from pobrax_tpu.training import checkpoint as ckpt
+        latest = ckpt.latest_step_dir(checkpoint_dir)
+        if latest is not None:
+            ts = ckpt.restore(latest, template=ts)
+            resumed_steps = (int(ts.epochs) * cfg.unroll_length
+                             * cfg.num_envs * cfg.action_repeat)
+            key = jax.random.fold_in(key, int(ts.epochs))
     env_state = jax.jit(wrapped.reset)(jax.random.split(k_reset, cfg.num_envs))
     h = learner.h0(cfg.num_envs)
     if mesh is not None:
@@ -326,16 +343,25 @@ def train(
 
     epoch_fn = learner.jit_epoch()
     steps_per_epoch = cfg.unroll_length * cfg.num_envs * cfg.action_repeat
-    num_epochs = max(1, -(-cfg.num_timesteps // steps_per_epoch))
+    remaining = max(0, cfg.num_timesteps - resumed_steps)
+    num_epochs = max(0 if resumed_steps else 1, -(-remaining // steps_per_epoch))
     history = []
     t0 = time.perf_counter()
+    last_ckpt = resumed_steps
     for i in range(num_epochs):
         key, k_epoch = jax.random.split(key)
         ts, env_state, h, metrics = epoch_fn(ts, env_state, h, k_epoch)
+        total_steps = resumed_steps + (i + 1) * steps_per_epoch
         if progress_fn is not None:
             metrics = jax.tree.map(float, jax.device_get(metrics))
             metrics["steps_per_second"] = (
                 (i + 1) * steps_per_epoch / (time.perf_counter() - t0))
             history.append(metrics)
-            progress_fn((i + 1) * steps_per_epoch, metrics)
+            progress_fn(total_steps, metrics)
+        if checkpoint_dir is not None and (
+                total_steps - last_ckpt >= checkpoint_every
+                or i == num_epochs - 1):
+            from pobrax_tpu.training import checkpoint as ckpt
+            ckpt.save_step(checkpoint_dir, total_steps, ts)
+            last_ckpt = total_steps
     return learner.make_inference_fn(), (ts.normalizer, ts.params), history
