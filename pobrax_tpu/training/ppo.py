@@ -131,6 +131,15 @@ class PPOConfig:
     max_grad_norm: Optional[float] = 0.5
     policy_hidden: Tuple[int, ...] = (32, 32, 32, 32)
     value_hidden: Tuple[int, ...] = (256, 256, 256, 256, 256)
+    # Minibatch shuffle locality. None = one global permutation of the
+    # flattened (T*B) rollout — simplest, but on a 'data'-sharded mesh it
+    # reshards the whole rollout every minibatch (measured: PPO-epoch
+    # strong-scaling efficiency 0.24 @ 8 devices, docs/PERFORMANCE.md).
+    # An int D = permute within D env-blocks and give every minibatch an
+    # equal slice of each block: with D = the mesh 'data'-axis size the
+    # shuffle is shard-LOCAL and every device contributes to every
+    # minibatch. Auto-set to the mesh size when a mesh is passed.
+    shuffle_blocks: Optional[int] = None
 
 
 class PPOLearner:
@@ -148,6 +157,16 @@ class PPOLearner:
         self.value_model = networks.make_model(
             list(cfg.value_hidden) + [1], self.obs_size)
         self.optimizer = self._make_optimizer()
+        self.shuffle_blocks = cfg.shuffle_blocks
+        if self.shuffle_blocks is None and mesh is not None:
+            self.shuffle_blocks = int(mesh.shape.get("data", 1))
+        if self.shuffle_blocks is not None:
+            per_block = cfg.unroll_length * cfg.num_envs // self.shuffle_blocks
+            if (cfg.num_envs % self.shuffle_blocks
+                    or per_block % cfg.num_minibatches):
+                raise ValueError(
+                    "num_envs must divide by shuffle_blocks and "
+                    "unroll*envs/blocks by num_minibatches")
         self._epoch_fn = self._build_epoch_fn()
 
     def _make_optimizer(self):
@@ -282,12 +301,26 @@ class PPOLearner:
 
             payload = (data, advantages, returns)
 
+            blocks = self.shuffle_blocks
+
             def sgd_epoch(carry, _):
                 params, opt_state, normalizer, key = carry
                 key, k_perm, k_mb = jax.random.split(key, 3)
 
-                # flatten (T, B) -> (T*B,), shuffle, split into minibatches
                 def shape_mb(x):
+                    if blocks:
+                        # shard-local: permute within each env block, then
+                        # give every minibatch an equal slice of each block
+                        D, M = blocks, cfg.num_minibatches
+                        x = x.reshape((x.shape[0], D, -1) + x.shape[2:])
+                        x = jnp.swapaxes(x, 0, 1)  # (D, T, B/D, ...)
+                        x = x.reshape((D, -1) + x.shape[3:])
+                        x = jax.vmap(jax.random.permutation)(
+                            jax.random.split(k_perm, D), x)
+                        x = x.reshape((D, M, -1) + x.shape[2:])
+                        x = jnp.swapaxes(x, 0, 1)  # (M, D, S, ...)
+                        return x.reshape((M, -1) + x.shape[3:])
+                    # global: flatten (T, B) -> (T*B,), one permutation
                     x = x.reshape((-1,) + x.shape[2:])
                     x = jax.random.permutation(k_perm, x)
                     return x.reshape((cfg.num_minibatches, -1) + x.shape[1:])
