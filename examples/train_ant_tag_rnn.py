@@ -10,7 +10,9 @@ dead-reckon its own position from the velocity observations and remember
 target sightings; this script trains it (same training-time potential
 shaping) and reports the TRUE sparse tag rate.
 
-Usage: python examples/train_ant_tag_rnn.py [num_timesteps] [num_envs]
+Usage:
+  python examples/train_ant_tag_rnn.py [num_timesteps] [num_envs]  # flat run
+  python examples/train_ant_tag_rnn.py --curriculum   # SOLVES the true env
 """
 
 import json
@@ -58,6 +60,41 @@ def tag_rate_rnn(env_core, inference_fn, params, hidden_size, episodes=256,
         return tagged.mean()
 
     return float(jax.jit(run)(jax.random.PRNGKey(seed)))
+
+
+CURRICULUM = ((20.0, 300_000_000), (6.0, 600_000_000), (4.0, 900_000_000))
+
+
+def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_tag_rnn_ckpt"):
+    """The run that SOLVES true AntTag: staged visibility curriculum.
+
+    Phase 1 (visible_radius=20, target always observable) makes pursuit
+    learnable; phases 2-3 shrink visibility toward the true env, forcing
+    the search behavior. Each phase resumes the shared checkpoint.
+    Measured on one TPU chip (docs/learning_ant_tag_finetune.json):
+    phase 2 -> 0.47 on the true env; phase 3 -> 1.000 det / 0.988 stoch
+    (random: 0.020). Total 900M inflated steps (~150M control steps)."""
+    import shutil
+    shutil.rmtree(checkpoint_dir, ignore_errors=True)
+    hidden = 128
+    common = dict(num_envs=num_envs, episode_length=1000,
+                  action_repeat=HAI_ACTION_REPEAT, unroll_length=32,
+                  num_minibatches=8, num_update_epochs=4, learning_rate=3e-4,
+                  entropy_cost=3e-3, discounting=0.97, reward_scaling=1.0,
+                  hidden_size=hidden, encoder_sizes=(256,), seed=0,
+                  checkpoint_dir=checkpoint_dir,
+                  checkpoint_every=50_000_000,
+                  progress_fn=lambda s, m: None)
+    inference_fn = params = None
+    for radius, total in CURRICULUM:
+        inference_fn, params, _ = ppo_rnn.train(
+            ShapedAntTag(_envs["ant_tag"](visible_radius=radius), coef=5.0),
+            num_timesteps=total, **common)
+        print(f"curriculum phase done: visible_radius={radius}", flush=True)
+    det = tag_rate_rnn(_envs["ant_tag"](), inference_fn, params, hidden,
+                       action_repeat=HAI_ACTION_REPEAT)
+    print(f"TRUE-env tag rate (det): {det:.3f}", flush=True)
+    return det
 
 
 def main(num_timesteps=150_000_000, num_envs=2048):
@@ -119,5 +156,8 @@ def main(num_timesteps=150_000_000, num_envs=2048):
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:3]]
-    main(*args)
+    if "--curriculum" in sys.argv:
+        main_curriculum()
+    else:
+        args = [int(a) for a in sys.argv[1:3]]
+        main(*args)
