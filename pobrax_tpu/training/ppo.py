@@ -140,6 +140,10 @@ class PPOConfig:
     # shuffle is shard-LOCAL and every device contributes to every
     # minibatch. Auto-set to the mesh size when a mesh is passed.
     shuffle_blocks: Optional[int] = None
+    # 'bfloat16' runs the policy/value matmuls in bf16 (params stay f32,
+    # outputs cast back to f32 before GAE/loss math) — the MXU executes
+    # bf16 matmuls at twice the f32 rate. Opt-in: None = full f32.
+    network_dtype: Optional[str] = None
 
 
 class PPOLearner:
@@ -152,10 +156,13 @@ class PPOLearner:
         self.action_size = env.action_size
         self.obs_size = env.observation_size
         self.dist = NormalTanhDistribution(event_size=self.action_size)
+        net_dtype = jnp.bfloat16 if cfg.network_dtype == "bfloat16" \
+            else jnp.float32
         self.policy_model = networks.make_model(
-            list(cfg.policy_hidden) + [self.dist.param_size], self.obs_size)
+            list(cfg.policy_hidden) + [self.dist.param_size], self.obs_size,
+            dtype=net_dtype)
         self.value_model = networks.make_model(
-            list(cfg.value_hidden) + [1], self.obs_size)
+            list(cfg.value_hidden) + [1], self.obs_size, dtype=net_dtype)
         self.optimizer = self._make_optimizer()
         self.shuffle_blocks = cfg.shuffle_blocks
         if self.shuffle_blocks is None and mesh is not None:
@@ -193,12 +200,14 @@ class PPOLearner:
     def _policy_params_fn(self, params: PPOParams, normalizer, obs: jnp.ndarray):
         if self.cfg.normalize_observations:
             obs = running_statistics.normalize(normalizer, obs)
-        return self.policy_model.apply(params.policy, obs)
+        # distribution/loss math stays f32 regardless of matmul dtype
+        return self.policy_model.apply(params.policy, obs).astype(jnp.float32)
 
     def _value_fn(self, params: PPOParams, normalizer, obs: jnp.ndarray):
         if self.cfg.normalize_observations:
             obs = running_statistics.normalize(normalizer, obs)
-        return jnp.squeeze(self.value_model.apply(params.value, obs), axis=-1)
+        return jnp.squeeze(self.value_model.apply(params.value, obs),
+                           axis=-1).astype(jnp.float32)
 
     def make_inference_fn(self) -> Callable:
         """Returns `policy(params_tuple, obs, key) -> action in [-1, 1]`

@@ -199,3 +199,15 @@ def test_rnn_ppo_epoch_under_mesh(use_mesh):
         hidden_size=8, encoder_sizes=(16,), mesh=mesh, seed=1,
         progress_fn=lambda s, m: None)
     assert all(np.isfinite(h["total_loss"]) for h in hist)
+
+
+def test_ppo_bf16_network_dtype_runs():
+    from pobrax_tpu.envs.fast import Fast
+
+    inf_fn, params, hist = ppo.train(
+        Fast(), num_timesteps=128, num_envs=8, episode_length=8,
+        unroll_length=4, num_minibatches=2, num_update_epochs=1,
+        network_dtype="bfloat16", seed=0, progress_fn=lambda s, m: None)
+    assert all(np.isfinite(h["total_loss"]) for h in hist)
+    act = inf_fn(params, jnp.zeros((2, 2)), jax.random.PRNGKey(0))
+    assert act.dtype == jnp.float32  # outputs cast back to f32
