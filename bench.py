@@ -32,8 +32,15 @@ def bench(env_name: str = "ant_tag", batch: int = 4096, steps: int = 200,
     if env_name.startswith("masked_"):
         env_name = env_name[len("masked_"):]
         hidden = ("VELOCITY",)
+    # Autoreset mode (BENCH_AUTORESET): 'cached' (default) = the
+    # reference's RandomizedAutoResetWrapperCached semantics (fresh cached
+    # states, 200-step refresh — reference wrappers.py:83-123) implemented
+    # fully on device so it survives jit; 'naive' = resample EVERY step
+    # (reference wrappers.py:30-52), which costs ~31% of the fused step.
+    # Both numbers are recorded in docs/PERFORMANCE.md.
     env = create(env_name, episode_length=1000, batch_size=batch,
-                 auto_reset=True, randomized_autoreset=True)
+                 auto_reset=True, randomized_autoreset=True,
+                 autoreset_mode=os.environ.get("BENCH_AUTORESET", "cached"))
     if hidden is not None:
         env = MaskedObservationWrapper(env, env_name=env_name, hidden=hidden)
     action_size = env.action_size

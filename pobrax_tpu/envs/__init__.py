@@ -75,13 +75,18 @@ def create(
     batch_size: Optional[int] = None,
     eval_metrics: bool = False,
     randomized_autoreset: bool = False,
+    autoreset_mode: str = "naive",
     **kwargs,
 ) -> Env:
     """Create an Env with the reference's wrapper stack order (:58-72).
 
-    `randomized_autoreset=True` swaps the cached AutoResetWrapper for the
-    fully on-device RandomizedAutoResetWrapperNaive — the configuration the
-    reference's own benchmark favours (ant_heavenhell.py:194-205)."""
+    `randomized_autoreset=True` swaps the cached AutoResetWrapper for a
+    fully on-device randomized variant — the configuration the reference's
+    own benchmark favours (ant_heavenhell.py:194-205). `autoreset_mode`
+    selects it: 'naive' (resample every step — reference parity, costs ~31%
+    of the fused step) or 'cached' (RandomizedAutoResetWrapperCachedOnDevice
+    — cached fresh states refreshed on device every 200 steps, near-zero
+    cost; see docs/PERFORMANCE.md)."""
     env = _envs[env_name](**kwargs)
     if action_repeat is not None:
         env = wrappers.ActionRepeatWrapper(env, action_repeat=action_repeat)
@@ -91,7 +96,10 @@ def create(
         env = wrappers.VmapWrapper(env, batch_size=batch_size)
     if auto_reset:
         if randomized_autoreset:
-            env = wrappers.RandomizedAutoResetWrapperNaive(env)
+            if autoreset_mode == "cached":
+                env = wrappers.RandomizedAutoResetWrapperCachedOnDevice(env)
+            else:
+                env = wrappers.RandomizedAutoResetWrapperNaive(env)
         else:
             env = wrappers.AutoResetWrapper(env)
     if eval_metrics:

@@ -212,3 +212,44 @@ class TestFinalObs:
         state = jax.jit(env.step)(state, jnp.ones((2, 1)))
         np.testing.assert_array_equal(
             np.asarray(state.obs), np.asarray(state.info["final_obs"]))
+
+
+class TestCachedOnDevice:
+    def _stack(self, B=4, refresh=5, env=None):
+        env = env or Ant()
+        e = wrappers.EpisodeWrapper(env, episode_length=2, action_repeat=1)
+        e = wrappers.VmapWrapper(e, batch_size=B)
+        return wrappers.RandomizedAutoResetWrapperCachedOnDevice(
+            e, refresh_every=refresh)
+
+    def test_restores_cached_state_on_done(self, ant):
+        env = self._stack(env=ant)
+        state, _ = _batched_reset(env, 4)
+        first_obs = np.asarray(state.info["first_obs"])
+        act = jnp.zeros((4, ant.action_size))
+        step = jax.jit(env.step)
+        state = step(state, act)
+        state = step(state, act)  # episode_length=2 -> done
+        assert bool(jnp.all(state.done == 1.0))
+        np.testing.assert_array_equal(np.asarray(state.obs), first_obs)
+
+    def test_cache_refreshes_on_schedule_inside_scan(self, ant):
+        env = self._stack(env=ant, refresh=3)
+        state, _ = _batched_reset(env, 4)
+        act = jnp.zeros((4, ant.action_size))
+
+        def roll(state, n):
+            def body(s, _):
+                s = env.step(s, act)
+                return s, s.info["first_obs"]
+            return jax.lax.scan(body, state, None, length=n)
+
+        _, cached = jax.jit(lambda s: roll(s, 7))(state)
+        c = np.asarray(cached)
+        # steps 1,2 keep the reset-time cache; step 3 refreshes; 4,5 keep;
+        # 6 refreshes again (fully inside the jitted scan)
+        np.testing.assert_array_equal(c[0], c[1])
+        assert np.abs(c[2] - c[1]).max() > 0
+        np.testing.assert_array_equal(c[2], c[3])
+        np.testing.assert_array_equal(c[3], c[4])
+        assert np.abs(c[5] - c[4]).max() > 0
