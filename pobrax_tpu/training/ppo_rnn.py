@@ -251,15 +251,22 @@ class RNNPPOLearner:
             if cfg.normalize_observations:
                 normalizer = running_statistics.update(normalizer, data.obs)
 
-            # minibatches: contiguous env slices, time axis kept whole
+            # minibatches: STRIDED env interleave (env b -> minibatch b % M),
+            # time axis kept whole. With the env axis sharded in contiguous
+            # blocks on a 'data' mesh, striding makes every minibatch draw
+            # evenly from every device shard — contiguous blocks would leave
+            # all but one device idle per grad step (measured: strong-scaling
+            # efficiency 0.48 -> see docs/PERFORMANCE.md).
             def shape_mb(x):
-                # (T, B, ...) -> (M, T, B/M, ...)
-                x = x.reshape(x.shape[:1] + (cfg.num_minibatches, -1)
+                # (T, B, ...) -> (T, B/M, M, ...) -> (M, T, B/M, ...)
+                x = x.reshape(x.shape[:1] + (-1, cfg.num_minibatches)
                               + x.shape[2:])
-                return jnp.moveaxis(x, 1, 0)
+                return jnp.moveaxis(x, (2, 0), (0, 1))
 
             data_mb = jax.tree.map(shape_mb, (data, advantages, returns))
-            h0_mb = h0_roll.reshape((cfg.num_minibatches, -1, cfg.hidden_size))
+            h0_mb = jnp.moveaxis(
+                h0_roll.reshape((-1, cfg.num_minibatches, cfg.hidden_size)),
+                1, 0)
 
             def sgd_epoch(carry, _):
                 carry, metrics = jax.lax.scan(
