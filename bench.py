@@ -110,6 +110,7 @@ def main() -> None:
         "value": round(value, 1),
         "unit": "env_steps/s/chip",
         "vs_baseline": round(vs, 3),
+        "autoreset": os.environ.get("BENCH_AUTORESET", "cached"),
     }))
 
 
