@@ -134,6 +134,12 @@ def run_reference(env_name: str, steps: int, seed: int, actions=None):
 def dump(env_name: str, steps: int, seed: int, impl: str, out: str) -> None:
     runner = run_ours if impl == "ours" else run_reference
     obs0, obs, rew, done, acts = runner(env_name, steps, seed)
+    if impl == "ours":
+        # re-record through the actions-as-input program — the one replay
+        # uses — so replays are bit-exact (the action-SAMPLING scan is a
+        # different XLA program and may reassociate ~1e-7 differently)
+        obs0, obs, rew, done, _ = run_ours(env_name, steps, seed,
+                                           actions=acts)
     np.savez_compressed(
         out,
         meta=json.dumps({
