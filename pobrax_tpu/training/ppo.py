@@ -432,9 +432,14 @@ def train(
     progress_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1_000_000,
+    autoreset_mode: str = "naive",
     **cfg_overrides,
 ):
     """Train PPO on a *core* env (unwrapped); builds the fused wrapper stack.
+
+    `autoreset_mode`: 'naive' (reference-parity per-step resample) or
+    'cached' (on-device cached refresh — ~31% faster stepping, see
+    docs/PERFORMANCE.md).
 
     With `checkpoint_dir`, training state is saved every `checkpoint_every`
     env-steps and resumed from the latest step dir if one exists (crash
@@ -448,7 +453,10 @@ def train(
     wrapped = wrappers.ActionRepeatWrapper(env, cfg.action_repeat)
     wrapped = wrappers.EpisodeWrapper(wrapped, cfg.episode_length, 1)
     wrapped = wrappers.VmapWrapper(wrapped, batch_size=cfg.num_envs)
-    wrapped = wrappers.RandomizedAutoResetWrapperNaive(wrapped)
+    if autoreset_mode == "cached":
+        wrapped = wrappers.RandomizedAutoResetWrapperCachedOnDevice(wrapped)
+    else:
+        wrapped = wrappers.RandomizedAutoResetWrapperNaive(wrapped)
 
     learner = PPOLearner(wrapped, cfg, mesh=mesh)
     key = jax.random.PRNGKey(seed)

@@ -307,6 +307,7 @@ def train(
     progress_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1_000_000,
+    autoreset_mode: str = "naive",
     **cfg_overrides,
 ):
     """Train recurrent PPO on a core env; returns
@@ -324,7 +325,10 @@ def train(
     wrapped = wrappers.ActionRepeatWrapper(env, cfg.action_repeat)
     wrapped = wrappers.EpisodeWrapper(wrapped, cfg.episode_length, 1)
     wrapped = wrappers.VmapWrapper(wrapped, batch_size=cfg.num_envs)
-    wrapped = wrappers.RandomizedAutoResetWrapperNaive(wrapped)
+    if autoreset_mode == "cached":
+        wrapped = wrappers.RandomizedAutoResetWrapperCachedOnDevice(wrapped)
+    else:
+        wrapped = wrappers.RandomizedAutoResetWrapperNaive(wrapped)
 
     learner = RNNPPOLearner(wrapped, cfg, mesh=mesh)
     key = jax.random.PRNGKey(seed)

@@ -265,15 +265,22 @@ def train(
     cfg: Optional[SACConfig] = None,
     seed: int = 0,
     progress_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    autoreset_mode: str = "naive",
     **cfg_overrides,
 ):
-    """Train SAC on a core env; returns (inference_fn, params_tuple, history)."""
+    """Train SAC on a core env; returns (inference_fn, params_tuple, history).
+
+    `autoreset_mode`: 'naive' (per-step resample) or 'cached' (on-device
+    cached refresh, faster stepping — docs/PERFORMANCE.md)."""
     from pobrax_tpu.envs import wrappers
 
     cfg = dataclasses.replace(cfg or SACConfig(), **cfg_overrides)
     wrapped = wrappers.EpisodeWrapper(env, cfg.episode_length, 1)
     wrapped = wrappers.VmapWrapper(wrapped, batch_size=cfg.num_envs)
-    wrapped = wrappers.RandomizedAutoResetWrapperNaive(wrapped)
+    if autoreset_mode == "cached":
+        wrapped = wrappers.RandomizedAutoResetWrapperCachedOnDevice(wrapped)
+    else:
+        wrapped = wrappers.RandomizedAutoResetWrapperNaive(wrapped)
 
     learner = SACLearner(wrapped, cfg)
     key = jax.random.PRNGKey(seed)

@@ -211,3 +211,13 @@ def test_ppo_bf16_network_dtype_runs():
     assert all(np.isfinite(h["total_loss"]) for h in hist)
     act = inf_fn(params, jnp.zeros((2, 2)), jax.random.PRNGKey(0))
     assert act.dtype == jnp.float32  # outputs cast back to f32
+
+
+def test_ppo_cached_autoreset_mode_trains():
+    from pobrax_tpu.envs.fast import Fast
+
+    _, _, hist = ppo.train(
+        Fast(), num_timesteps=128, num_envs=8, episode_length=8,
+        unroll_length=4, num_minibatches=2, num_update_epochs=1,
+        autoreset_mode="cached", seed=0, progress_fn=lambda s, m: None)
+    assert all(np.isfinite(h["total_loss"]) for h in hist)
