@@ -87,6 +87,14 @@ def create(
     of the fused step) or 'cached' (RandomizedAutoResetWrapperCachedOnDevice
     — cached fresh states refreshed on device every 200 steps, near-zero
     cost; see docs/PERFORMANCE.md)."""
+    if autoreset_mode not in ("naive", "cached"):
+        raise ValueError(
+            f"autoreset_mode must be 'naive' or 'cached', got {autoreset_mode!r}")
+    if autoreset_mode != "naive" and not (auto_reset and randomized_autoreset):
+        raise ValueError(
+            "autoreset_mode='cached' requires auto_reset=True and "
+            "randomized_autoreset=True — without them the mode is silently "
+            "ignored and the run would NOT be in cached mode")
     env = _envs[env_name](**kwargs)
     if action_repeat is not None:
         env = wrappers.ActionRepeatWrapper(env, action_repeat=action_repeat)
@@ -96,10 +104,7 @@ def create(
         env = wrappers.VmapWrapper(env, batch_size=batch_size)
     if auto_reset:
         if randomized_autoreset:
-            if autoreset_mode == "cached":
-                env = wrappers.RandomizedAutoResetWrapperCachedOnDevice(env)
-            else:
-                env = wrappers.RandomizedAutoResetWrapperNaive(env)
+            env = wrappers.randomized_autoreset(env, autoreset_mode)
         else:
             env = wrappers.AutoResetWrapper(env)
     if eval_metrics:

@@ -34,6 +34,19 @@ from flax import struct
 from pobrax_tpu.envs.base import Env, State, Wrapper
 
 
+def randomized_autoreset(env: Env, mode: str) -> "Wrapper":
+    """Validated dispatch for the autoreset_mode knob: 'naive' (per-step
+    resample, reference parity) or 'cached' (on-device cached refresh).
+    Raises on anything else so a typo ('Cached') can never silently run a
+    benchmark or training job in the wrong mode."""
+    if mode == "cached":
+        return RandomizedAutoResetWrapperCachedOnDevice(env)
+    if mode == "naive":
+        return RandomizedAutoResetWrapperNaive(env)
+    raise ValueError(
+        f"autoreset_mode must be 'naive' or 'cached', got {mode!r}")
+
+
 def where_done(done: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Per-env select: x where done else y (reference wrappers.py:44-48)."""
     if done.shape:
@@ -267,8 +280,14 @@ class RandomizedAutoResetWrapperCachedOnDevice(Wrapper):
         return state.replace(info=info)
 
     def step(self, state: State, action: jnp.ndarray) -> State:
+        # cache_age is stored per-env ONLY because the inner VmapWrapper
+        # vmaps every info leaf; this wrapper's own reset keeps it uniform
+        # (one refresh clock for the whole batch, like the reference's
+        # host-side counter). `any` rather than element [0] so that a
+        # restored/mixed-age batch still refreshes — at the earliest env's
+        # cadence — instead of silently desyncing.
         age = state.info["cache_age"] + 1
-        pred = jnp.ravel(age)[0] % self.refresh_every == 0
+        pred = jnp.any(age % self.refresh_every == 0)
 
         def refresh(state: State) -> State:
             state, rng_use = _split_info_rng(state)

@@ -433,6 +433,7 @@ def train(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1_000_000,
     autoreset_mode: str = "naive",
+    watchdog_deadline_s: Optional[float] = 1800.0,
     **cfg_overrides,
 ):
     """Train PPO on a *core* env (unwrapped); builds the fused wrapper stack.
@@ -445,6 +446,15 @@ def train(
     env-steps and resumed from the latest step dir if one exists (crash
     recovery — the failure-detection story's restart half).
 
+    Failure DETECTION: a `parallel.health.Watchdog` (monitored in a daemon
+    thread) is beaten after every completed epoch; a hang inside a device
+    call longer than `watchdog_deadline_s` (default 30 min — first epoch
+    includes compile) is reported loudly on stderr and raises at the next
+    heartbeat instead of stalling silently. Multi-process runs additionally
+    `health.ping()` (a real collective) at startup and every checkpoint
+    boundary, so a dead peer converts into a watchdog-visible hang at a
+    known point. Disable with watchdog_deadline_s=None.
+
     Returns (inference_fn, params_tuple, metrics_history).
     """
     from pobrax_tpu.envs import wrappers  # local import to avoid cycles
@@ -453,10 +463,7 @@ def train(
     wrapped = wrappers.ActionRepeatWrapper(env, cfg.action_repeat)
     wrapped = wrappers.EpisodeWrapper(wrapped, cfg.episode_length, 1)
     wrapped = wrappers.VmapWrapper(wrapped, batch_size=cfg.num_envs)
-    if autoreset_mode == "cached":
-        wrapped = wrappers.RandomizedAutoResetWrapperCachedOnDevice(wrapped)
-    else:
-        wrapped = wrappers.RandomizedAutoResetWrapperNaive(wrapped)
+    wrapped = wrappers.randomized_autoreset(wrapped, autoreset_mode)
 
     learner = PPOLearner(wrapped, cfg, mesh=mesh)
     key = jax.random.PRNGKey(seed)
@@ -489,22 +496,37 @@ def train(
     history = []
     t0 = time.perf_counter()
     last_ckpt = resumed_steps
-    for i in range(num_epochs):
-        key, k_epoch = jax.random.split(key)
-        ts, env_state, metrics = epoch_fn(ts, env_state, k_epoch)
-        total_steps = resumed_steps + (i + 1) * steps_per_epoch
-        if progress_fn is not None:
-            metrics = jax.tree.map(float, jax.device_get(metrics))
-            metrics["steps_per_second"] = (
-                (i + 1) * steps_per_epoch / (time.perf_counter() - t0))
-            history.append(metrics)
-            progress_fn(total_steps, metrics)
-        if checkpoint_dir is not None and (
-                total_steps - last_ckpt >= checkpoint_every
-                or i == num_epochs - 1):
-            from pobrax_tpu.training import checkpoint as ckpt
-            ckpt.save_step(checkpoint_dir, total_steps, ts)
-            last_ckpt = total_steps
+
+    from pobrax_tpu.parallel import health
+    wd = (health.Watchdog(deadline_s=watchdog_deadline_s).start_monitor()
+          if watchdog_deadline_s else None)
+    if jax.process_count() > 1:
+        health.ping()  # startup liveness barrier: all peers present
+    try:
+        for i in range(num_epochs):
+            key, k_epoch = jax.random.split(key)
+            ts, env_state, metrics = epoch_fn(ts, env_state, k_epoch)
+            if wd is not None:
+                jax.block_until_ready(metrics)
+                wd.beat()  # raises if the monitor latched a stall
+            total_steps = resumed_steps + (i + 1) * steps_per_epoch
+            if progress_fn is not None:
+                metrics = jax.tree.map(float, jax.device_get(metrics))
+                metrics["steps_per_second"] = (
+                    (i + 1) * steps_per_epoch / (time.perf_counter() - t0))
+                history.append(metrics)
+                progress_fn(total_steps, metrics)
+            if checkpoint_dir is not None and (
+                    total_steps - last_ckpt >= checkpoint_every
+                    or i == num_epochs - 1):
+                if jax.process_count() > 1:
+                    health.ping()  # peers alive before the save barrier
+                from pobrax_tpu.training import checkpoint as ckpt
+                ckpt.save_step(checkpoint_dir, total_steps, ts)
+                last_ckpt = total_steps
+    finally:
+        if wd is not None:
+            wd.stop_monitor()
 
     inference_fn = learner.make_inference_fn()
     params_tuple = (ts.normalizer, ts.params.policy)

@@ -308,6 +308,7 @@ def train(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1_000_000,
     autoreset_mode: str = "naive",
+    watchdog_deadline_s: Optional[float] = 1800.0,
     **cfg_overrides,
 ):
     """Train recurrent PPO on a core env; returns
@@ -325,10 +326,7 @@ def train(
     wrapped = wrappers.ActionRepeatWrapper(env, cfg.action_repeat)
     wrapped = wrappers.EpisodeWrapper(wrapped, cfg.episode_length, 1)
     wrapped = wrappers.VmapWrapper(wrapped, batch_size=cfg.num_envs)
-    if autoreset_mode == "cached":
-        wrapped = wrappers.RandomizedAutoResetWrapperCachedOnDevice(wrapped)
-    else:
-        wrapped = wrappers.RandomizedAutoResetWrapperNaive(wrapped)
+    wrapped = wrappers.randomized_autoreset(wrapped, autoreset_mode)
 
     learner = RNNPPOLearner(wrapped, cfg, mesh=mesh)
     key = jax.random.PRNGKey(seed)
@@ -359,20 +357,35 @@ def train(
     history = []
     t0 = time.perf_counter()
     last_ckpt = resumed_steps
-    for i in range(num_epochs):
-        key, k_epoch = jax.random.split(key)
-        ts, env_state, h, metrics = epoch_fn(ts, env_state, h, k_epoch)
-        total_steps = resumed_steps + (i + 1) * steps_per_epoch
-        if progress_fn is not None:
-            metrics = jax.tree.map(float, jax.device_get(metrics))
-            metrics["steps_per_second"] = (
-                (i + 1) * steps_per_epoch / (time.perf_counter() - t0))
-            history.append(metrics)
-            progress_fn(total_steps, metrics)
-        if checkpoint_dir is not None and (
-                total_steps - last_ckpt >= checkpoint_every
-                or i == num_epochs - 1):
-            from pobrax_tpu.training import checkpoint as ckpt
-            ckpt.save_step(checkpoint_dir, total_steps, ts)
-            last_ckpt = total_steps
+
+    from pobrax_tpu.parallel import health
+    wd = (health.Watchdog(deadline_s=watchdog_deadline_s).start_monitor()
+          if watchdog_deadline_s else None)
+    if jax.process_count() > 1:
+        health.ping()  # startup liveness barrier (see ppo.train)
+    try:
+        for i in range(num_epochs):
+            key, k_epoch = jax.random.split(key)
+            ts, env_state, h, metrics = epoch_fn(ts, env_state, h, k_epoch)
+            if wd is not None:
+                jax.block_until_ready(metrics)
+                wd.beat()
+            total_steps = resumed_steps + (i + 1) * steps_per_epoch
+            if progress_fn is not None:
+                metrics = jax.tree.map(float, jax.device_get(metrics))
+                metrics["steps_per_second"] = (
+                    (i + 1) * steps_per_epoch / (time.perf_counter() - t0))
+                history.append(metrics)
+                progress_fn(total_steps, metrics)
+            if checkpoint_dir is not None and (
+                    total_steps - last_ckpt >= checkpoint_every
+                    or i == num_epochs - 1):
+                if jax.process_count() > 1:
+                    health.ping()
+                from pobrax_tpu.training import checkpoint as ckpt
+                ckpt.save_step(checkpoint_dir, total_steps, ts)
+                last_ckpt = total_steps
+    finally:
+        if wd is not None:
+            wd.stop_monitor()
     return learner.make_inference_fn(), (ts.normalizer, ts.params), history

@@ -266,6 +266,7 @@ def train(
     seed: int = 0,
     progress_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
     autoreset_mode: str = "naive",
+    watchdog_deadline_s: Optional[float] = 1800.0,
     **cfg_overrides,
 ):
     """Train SAC on a core env; returns (inference_fn, params_tuple, history).
@@ -277,10 +278,7 @@ def train(
     cfg = dataclasses.replace(cfg or SACConfig(), **cfg_overrides)
     wrapped = wrappers.EpisodeWrapper(env, cfg.episode_length, 1)
     wrapped = wrappers.VmapWrapper(wrapped, batch_size=cfg.num_envs)
-    if autoreset_mode == "cached":
-        wrapped = wrappers.RandomizedAutoResetWrapperCachedOnDevice(wrapped)
-    else:
-        wrapped = wrappers.RandomizedAutoResetWrapperNaive(wrapped)
+    wrapped = wrappers.randomized_autoreset(wrapped, autoreset_mode)
 
     learner = SACLearner(wrapped, cfg)
     key = jax.random.PRNGKey(seed)
@@ -293,13 +291,26 @@ def train(
     num_epochs = max(1, cfg.num_timesteps // steps_per_epoch)
     history = []
     t0 = time.perf_counter()
-    for i in range(num_epochs):
-        key, k_epoch = jax.random.split(key)
-        ts, env_state, metrics = epoch_fn(ts, env_state, k_epoch)
-        if progress_fn is not None:
-            metrics = jax.tree.map(float, jax.device_get(metrics))
-            metrics["steps_per_second"] = (
-                (i + 1) * steps_per_epoch / (time.perf_counter() - t0))
-            history.append(metrics)
-            progress_fn((i + 1) * steps_per_epoch, metrics)
+
+    from pobrax_tpu.parallel import health
+    wd = (health.Watchdog(deadline_s=watchdog_deadline_s).start_monitor()
+          if watchdog_deadline_s else None)
+    if jax.process_count() > 1:
+        health.ping()  # startup liveness barrier (see ppo.train)
+    try:
+        for i in range(num_epochs):
+            key, k_epoch = jax.random.split(key)
+            ts, env_state, metrics = epoch_fn(ts, env_state, k_epoch)
+            if wd is not None:
+                jax.block_until_ready(metrics)
+                wd.beat()
+            if progress_fn is not None:
+                metrics = jax.tree.map(float, jax.device_get(metrics))
+                metrics["steps_per_second"] = (
+                    (i + 1) * steps_per_epoch / (time.perf_counter() - t0))
+                history.append(metrics)
+                progress_fn((i + 1) * steps_per_epoch, metrics)
+    finally:
+        if wd is not None:
+            wd.stop_monitor()
     return learner.make_inference_fn(), (ts.normalizer, ts.params.policy), history

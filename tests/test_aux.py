@@ -40,6 +40,42 @@ def test_ping_counts_devices():
     assert ping() == jax.device_count()
 
 
+def test_watchdog_monitor_latches_stall():
+    """The daemon monitor converts a silent hang into a loud latched stall:
+    once the deadline passes with no beat, `stalled` flips and every later
+    beat()/check() raises (no silent resume)."""
+    fired = []
+    wd = Watchdog(deadline_s=0.05, on_stall=lambda el: fired.append(el))
+    wd.start_monitor(poll_s=0.01)
+    try:
+        deadline = time.monotonic() + 5.0
+        while not wd.stalled and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert wd.stalled and fired, "monitor never latched the stall"
+        with pytest.raises(TimeoutError):
+            wd.beat()
+        with pytest.raises(TimeoutError):
+            wd.check()
+    finally:
+        wd.stop_monitor()
+
+
+def test_train_raises_on_stalled_epoch():
+    """ppo.train wires the watchdog: an epoch slower than the deadline
+    (here: any epoch at all vs a ~0 deadline) raises instead of silently
+    continuing — 'a stalled epoch raises' (failure-detection wiring)."""
+    from pobrax_tpu.envs import create
+    from pobrax_tpu.training import ppo
+
+    env = create("ant", auto_reset=False, episode_length=None,
+                 action_repeat=None)
+    with pytest.raises(TimeoutError):
+        ppo.train(
+            env, num_timesteps=2048, num_envs=16, unroll_length=4,
+            num_minibatches=1, num_update_epochs=1, episode_length=64,
+            watchdog_deadline_s=1e-4)
+
+
 def test_checkpoint_step_dirs(tmp_path):
     from pobrax_tpu.training import checkpoint
 

@@ -54,7 +54,26 @@ def test_page_embeds_wellformed_scene_and_frames(page_and_sys):
 
 
 def test_page_is_selfcontained_html(page_and_sys):
+    """Offline-standalone: the page must not fetch ANYTHING over the
+    network (VERDICT r2 weak #6 — the old page pulled three.js from a
+    CDN and rendered blank offline). The renderer is embedded WebGL."""
     page, _, _ = page_and_sys
     assert page.lstrip().lower().startswith("<!doctype html")
-    assert "three" in page  # renderer library reference
     assert "</html>" in page
+    low = page.lower()
+    for needle in ("http://", "https://", "<script src", "import("):
+        assert needle not in low, f"network fetch found: {needle}"
+    assert "getcontext('webgl'" in low  # embedded renderer present
+
+
+def test_committed_samples_are_offline(tmp_path):
+    """The committed docs/samples pages are built from the CURRENT template
+    (no stale CDN-era copies sneaking back in)."""
+    import pathlib
+    samples = sorted(pathlib.Path("docs/samples").glob("*.html"))
+    assert samples, "no committed samples"
+    for p in samples:
+        low = p.read_text().lower()
+        for needle in ("http://", "https://", "<script src"):
+            assert needle not in low, f"{p.name}: network fetch {needle}"
+        assert "getcontext('webgl'" in low, f"{p.name}: not current template"
