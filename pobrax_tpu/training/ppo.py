@@ -111,6 +111,37 @@ def compute_gae(
     return advantages, advantages + values
 
 
+def minibatch_indices(k_perm: jnp.ndarray, T: int, B: int, M: int,
+                      blocks: Optional[int]) -> jnp.ndarray:
+    """Flat (M, minibatch) int32 indices into the (T*B)-flattened rollout.
+
+    ONE gather per payload leaf replaces the old reshape/swapaxes/permute
+    chain (2 full-payload transposes + a gather, per update epoch).
+    Minibatch composition is bit-identical to the old chain:
+    jax.random.permutation(k, n) draws the same shuffle as
+    permutation(k, x) (both route through the same _shuffle), and the index
+    arithmetic reproduces the (T, D, B/D) -> (D, T*B/D) block flattening.
+
+    blocks=None: one global permutation of the T*B items.
+    blocks=D: permute within each of D env blocks and give every minibatch
+    an equal slice S of each block (shard-local shuffle on a 'data' mesh —
+    every device contributes to every minibatch with zero resharding).
+    """
+    if blocks:
+        D = blocks
+        Bd = B // D
+        perms = jax.vmap(lambda k: jax.random.permutation(k, T * Bd))(
+            jax.random.split(k_perm, D))  # (D, T*Bd)
+        # local index l in block d is (t = l // Bd, b' = l % Bd)
+        # -> flat t*B + d*Bd + b'
+        d_col = jnp.arange(D, dtype=perms.dtype)[:, None]
+        flat = (perms // Bd) * B + d_col * Bd + perms % Bd
+        # (D, T*Bd) -> (D, M, S) -> (M, D, S) -> (M, D*S)
+        flat = flat.reshape(D, M, -1)
+        return jnp.swapaxes(flat, 0, 1).reshape(M, -1)
+    return jax.random.permutation(k_perm, T * B).reshape(M, -1)
+
+
 @dataclasses.dataclass(frozen=True)
 class PPOConfig:
     num_timesteps: int = 1_000_000
@@ -198,13 +229,17 @@ class PPOLearner:
     # ---- policy --------------------------------------------------------------
 
     def _policy_params_fn(self, params: PPOParams, normalizer, obs: jnp.ndarray):
-        if self.cfg.normalize_observations:
+        """`normalizer=None` means `obs` is already normalized (the epoch
+        pre-normalizes the whole rollout ONCE — the old per-minibatch
+        normalize ran 2x per minibatch x minibatches x update-epochs on
+        identical data; measured as a real slice of the SGD phase)."""
+        if normalizer is not None and self.cfg.normalize_observations:
             obs = running_statistics.normalize(normalizer, obs)
         # distribution/loss math stays f32 regardless of matmul dtype
         return self.policy_model.apply(params.policy, obs).astype(jnp.float32)
 
     def _value_fn(self, params: PPOParams, normalizer, obs: jnp.ndarray):
-        if self.cfg.normalize_observations:
+        if normalizer is not None and self.cfg.normalize_observations:
             obs = running_statistics.normalize(normalizer, obs)
         return jnp.squeeze(self.value_model.apply(params.value, obs),
                            axis=-1).astype(jnp.float32)
@@ -230,11 +265,15 @@ class PPOLearner:
         def step(carry, _):
             env_state, key = carry
             key, k_sample = jax.random.split(key)
-            dist_params = self._policy_params_fn(ts.params, ts.normalizer, env_state.obs)
+            # normalize ONCE per step; both heads consume the same tensor
+            norm_obs = (running_statistics.normalize(
+                ts.normalizer, env_state.obs)
+                if self.cfg.normalize_observations else env_state.obs)
+            dist_params = self._policy_params_fn(ts.params, None, norm_obs)
             pre_tanh = self.dist.sample_no_postprocess(dist_params, k_sample)
             log_prob = self.dist.log_prob(dist_params, pre_tanh)
             action = self.dist.postprocess(pre_tanh)
-            value = self._value_fn(ts.params, ts.normalizer, env_state.obs)
+            value = self._value_fn(ts.params, None, norm_obs)
             nstate = self.env.step(env_state, action)
             t = Transition(
                 obs=env_state.obs,
@@ -286,14 +325,15 @@ class PPOLearner:
         grad_fn = jax.value_and_grad(self._loss, has_aux=True)
 
         def minibatch_step(carry, xs):
-            params, opt_state, normalizer, key = carry
+            params, opt_state, key = carry
             data, advantages, returns = xs
             key, k_loss = jax.random.split(key)
+            # normalizer=None: data.obs was pre-normalized once by the epoch
             (_, metrics), grads = grad_fn(
-                params, normalizer, data, advantages, returns, k_loss)
+                params, None, data, advantages, returns, k_loss)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, normalizer, key), metrics
+            return (params, opt_state, key), metrics
 
         def epoch(ts: TrainingState, env_state: State, key: jnp.ndarray):
             key, k_roll, k_sgd = jax.random.split(key, 3)
@@ -307,44 +347,38 @@ class PPOLearner:
             normalizer = ts.normalizer
             if cfg.normalize_observations:
                 normalizer = running_statistics.update(normalizer, data.obs)
+                # normalize the whole rollout ONCE with the post-update
+                # statistics — every minibatch loss used to redo this (2x:
+                # policy + value) on identical data; the values are
+                # bit-identical, only the redundant work is gone
+                data = data.replace(obs=running_statistics.normalize(
+                    normalizer, data.obs))
 
             payload = (data, advantages, returns)
 
             blocks = self.shuffle_blocks
+            T, B = data.reward.shape
+            M = cfg.num_minibatches
 
             def sgd_epoch(carry, _):
-                params, opt_state, normalizer, key = carry
+                params, opt_state, key = carry
                 key, k_perm, k_mb = jax.random.split(key, 3)
+                idx = minibatch_indices(k_perm, T, B, M, blocks)
 
                 def shape_mb(x):
-                    if blocks:
-                        # shard-local: permute within each env block, then
-                        # give every minibatch an equal slice of each block
-                        D, M = blocks, cfg.num_minibatches
-                        x = x.reshape((x.shape[0], D, -1) + x.shape[2:])
-                        x = jnp.swapaxes(x, 0, 1)  # (D, T, B/D, ...)
-                        x = x.reshape((D, -1) + x.shape[3:])
-                        x = jax.vmap(jax.random.permutation)(
-                            jax.random.split(k_perm, D), x)
-                        x = x.reshape((D, M, -1) + x.shape[2:])
-                        x = jnp.swapaxes(x, 0, 1)  # (M, D, S, ...)
-                        return x.reshape((M, -1) + x.shape[3:])
-                    # global: flatten (T, B) -> (T*B,), one permutation
-                    x = x.reshape((-1,) + x.shape[2:])
-                    x = jax.random.permutation(k_perm, x)
-                    return x.reshape((cfg.num_minibatches, -1) + x.shape[1:])
+                    return x.reshape((T * B,) + x.shape[2:])[idx]
 
                 carry2, metrics = jax.lax.scan(
                     minibatch_step,
-                    (params, opt_state, normalizer, k_mb),
+                    (params, opt_state, k_mb),
                     jax.tree.map(shape_mb, payload),
                 )
-                params, opt_state, normalizer, _ = carry2
-                return (params, opt_state, normalizer, key), metrics
+                params, opt_state, _ = carry2
+                return (params, opt_state, key), metrics
 
-            (params, opt_state, normalizer, _), metrics = jax.lax.scan(
+            (params, opt_state, _), metrics = jax.lax.scan(
                 sgd_epoch,
-                (ts.params, ts.opt_state, normalizer, k_sgd),
+                (ts.params, ts.opt_state, k_sgd),
                 None,
                 length=cfg.num_update_epochs,
             )

@@ -141,7 +141,10 @@ class RNNPPOLearner:
     # ---- pieces ---------------------------------------------------------------
 
     def _apply(self, params, normalizer, h, obs):
-        if self.cfg.normalize_observations:
+        """`normalizer=None` means `obs` is already normalized (the epoch
+        pre-normalizes the whole rollout once; the loss replay used to
+        redo it per timestep per minibatch per update-epoch)."""
+        if normalizer is not None and self.cfg.normalize_observations:
             obs = running_statistics.normalize(normalizer, obs)
         return self.net.apply(params, h, obs)
 
@@ -192,13 +195,14 @@ class RNNPPOLearner:
 
     # ---- loss (replays the unroll through the GRU) -----------------------------
 
-    def _loss(self, params, normalizer, h0, data: RNNTransition,
+    def _loss(self, params, h0, data: RNNTransition,
               advantages, returns, key):
+        """`data.obs` arrives pre-normalized from the epoch (see _apply)."""
         cfg = self.cfg
 
         def replay(h, xs):
             obs, done = xs
-            nh, pol, val = self._apply(params, normalizer, h, obs)
+            nh, pol, val = self._apply(params, None, h, obs)
             nh = nh * (1.0 - done[:, None])
             return nh, (pol, val)
 
@@ -226,14 +230,14 @@ class RNNPPOLearner:
         grad_fn = jax.value_and_grad(self._loss, has_aux=True)
 
         def minibatch_step(carry, xs):
-            params, opt_state, normalizer, key = carry
+            params, opt_state, key = carry
             h0_mb, data, advantages, returns = xs
             key, k_loss = jax.random.split(key)
             (_, metrics), grads = grad_fn(
-                params, normalizer, h0_mb, data, advantages, returns, k_loss)
+                params, h0_mb, data, advantages, returns, k_loss)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, normalizer, key), metrics
+            return (params, opt_state, key), metrics
 
         def epoch(ts: RNNTrainingState, env_state: State, h: jnp.ndarray,
                   key: jnp.ndarray):
@@ -250,6 +254,11 @@ class RNNPPOLearner:
             normalizer = ts.normalizer
             if cfg.normalize_observations:
                 normalizer = running_statistics.update(normalizer, data.obs)
+                # pre-normalize ONCE with the post-update stats; the loss
+                # replay consumes it as-is (values bit-identical to the old
+                # per-minibatch normalize, redundant work gone)
+                data = data.replace(obs=running_statistics.normalize(
+                    normalizer, data.obs))
 
             # minibatches: STRIDED env interleave (env b -> minibatch b % M),
             # time axis kept whole. With the env axis sharded in contiguous
@@ -273,8 +282,8 @@ class RNNPPOLearner:
                     minibatch_step, carry, (h0_mb,) + data_mb)
                 return carry, metrics
 
-            (params, opt_state, normalizer, _), metrics = jax.lax.scan(
-                sgd_epoch, (ts.params, ts.opt_state, normalizer, k_sgd),
+            (params, opt_state, _), metrics = jax.lax.scan(
+                sgd_epoch, (ts.params, ts.opt_state, k_sgd),
                 None, length=cfg.num_update_epochs)
             ts = RNNTrainingState(params=params, opt_state=opt_state,
                                   normalizer=normalizer, epochs=ts.epochs + 1)

@@ -221,3 +221,55 @@ def test_ppo_cached_autoreset_mode_trains():
         unroll_length=4, num_minibatches=2, num_update_epochs=1,
         autoreset_mode="cached", seed=0, progress_fn=lambda s, m: None)
     assert all(np.isfinite(h["total_loss"]) for h in hist)
+
+
+@pytest.mark.parametrize("blocks", [None, 4])
+def test_minibatch_indices_match_old_shuffle_chain(blocks):
+    """The index-gather shuffle (one gather per leaf) must compose
+    minibatches BIT-IDENTICALLY to the r2 reshape/swapaxes/permute chain it
+    replaced — same key, same minibatch contents, just fewer HBM copies."""
+    T, B, M = 6, 16, 4
+    k = jax.random.PRNGKey(42)
+    x = jnp.arange(T * B * 3, dtype=jnp.float32).reshape(T, B, 3)
+
+    def old_chain(x):
+        if blocks:
+            D = blocks
+            y = x.reshape((x.shape[0], D, -1) + x.shape[2:])
+            y = jnp.swapaxes(y, 0, 1)
+            y = y.reshape((D, -1) + y.shape[3:])
+            y = jax.vmap(jax.random.permutation)(jax.random.split(k, D), y)
+            y = y.reshape((D, M, -1) + y.shape[2:])
+            y = jnp.swapaxes(y, 0, 1)
+            return y.reshape((M, -1) + y.shape[3:])
+        y = x.reshape((-1,) + x.shape[2:])
+        y = jax.random.permutation(k, y)
+        return y.reshape((M, -1) + y.shape[1:])
+
+    idx = ppo.minibatch_indices(k, T, B, M, blocks)
+    new = x.reshape((T * B,) + x.shape[2:])[idx]
+    np.testing.assert_array_equal(np.asarray(old_chain(x)), np.asarray(new))
+
+
+def test_prenormalized_loss_matches_inline_normalize():
+    """Pre-normalizing the payload once (normalizer=None in the loss) gives
+    the same loss value as the old inline per-minibatch normalize."""
+    from pobrax_tpu.envs.ant import Ant
+    from pobrax_tpu.envs import wrappers
+
+    env = wrappers.VmapWrapper(
+        wrappers.EpisodeWrapper(Ant(), 8, 1), batch_size=4)
+    cfg = ppo.PPOConfig(num_envs=4, unroll_length=4, num_minibatches=1,
+                        num_update_epochs=1, episode_length=8)
+    learner = ppo.PPOLearner(env, cfg)
+    key = jax.random.PRNGKey(0)
+    ts = learner.init(key)
+    st = jax.jit(env.reset)(jax.random.split(key, 4))
+    _, data, boot = learner._rollout(ts, st, key)
+    adv, ret = ppo.compute_gae(data.reward, data.done, data.truncation,
+                               data.value, boot, 0.97, 0.95)
+    norm = running_statistics.update(ts.normalizer, data.obs)
+    pre = data.replace(obs=running_statistics.normalize(norm, data.obs))
+    l_new, _ = learner._loss(ts.params, None, pre, adv, ret, key)
+    l_old, _ = learner._loss(ts.params, norm, data, adv, ret, key)
+    np.testing.assert_allclose(float(l_new), float(l_old), rtol=1e-6)
