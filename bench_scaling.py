@@ -124,11 +124,57 @@ def bench_ppo(env_name: str, devices, per_device_envs: int,
     return best
 
 
+def bench_rnn(env_name: str, devices, per_device_envs: int,
+              repeats: int = 3) -> float:
+    """One recurrent-PPO (GRU) epoch on a 'data'-sharded mesh: env batch AND
+    hidden state sharded, strided env-interleave minibatches (shard-local by
+    construction), gradient psum the only collective."""
+    from pobrax_tpu.envs import create
+    from pobrax_tpu.parallel import make_mesh, replicate, shard_batch
+    from pobrax_tpu.training import ppo_rnn
+
+    n = len(devices)
+    num_envs = per_device_envs * n
+    mesh = make_mesh(devices=devices)
+    cfg = ppo_rnn.RNNPPOConfig(num_envs=num_envs, episode_length=1000,
+                               unroll_length=32, num_minibatches=8,
+                               num_update_epochs=4)
+    env = create(env_name, episode_length=cfg.episode_length,
+                 batch_size=num_envs, auto_reset=True,
+                 randomized_autoreset=True)
+    learner = ppo_rnn.RNNPPOLearner(env, cfg, mesh=mesh)
+    key = jax.random.PRNGKey(0)
+    ts = replicate(learner.init(key), mesh)
+    env_state = shard_batch(
+        jax.jit(env.reset)(jax.random.split(key, num_envs)), mesh)
+    h = shard_batch(learner.h0(num_envs), mesh)
+    epoch_fn = learner.jit_epoch()
+    ts, env_state, h, m = epoch_fn(ts, env_state, h, key)  # compile + warmup
+    jax.block_until_ready(m)
+    steps_per_epoch = cfg.unroll_length * num_envs
+    best = 0.0
+    for i in range(repeats):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        ts, env_state, h, m = epoch_fn(ts, env_state, h, k)
+        jax.block_until_ready(m)
+        best = max(best, steps_per_epoch / (time.perf_counter() - t0))
+    return best
+
+
+_PROGRAMS = {"step": bench_step, "ppo": bench_ppo, "rnn": bench_rnn}
+
+
 def main() -> None:
     env_name = os.environ.get("BENCH_ENV", "ant_tag")
     steps = int(os.environ.get("BENCH_STEPS", "100"))
+    programs = os.environ.get("BENCH_PROGRAMS", "step,ppo,rnn").split(",")
     devices, platform = _devices()
-    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= len(devices)]
+    sizes = [int(s) for s in os.environ["BENCH_SIZES"].split(",")] \
+        if os.environ.get("BENCH_SIZES") else \
+        [s for s in (1, 2, 4, 8, 16, 32) if s <= len(devices)]
+    if sizes[0] != 1:
+        sizes = [1] + sizes  # efficiency needs the 1-device anchor
 
     # Mode: on real accelerators, WEAK scaling (fixed per-device batch;
     # ideal = linear throughput; efficiency = rate_N / (N * rate_1)). On
@@ -142,14 +188,15 @@ def main() -> None:
     per_dev_weak = int(os.environ.get("BENCH_PER_DEVICE_ENVS", "256"))
 
     results = {}
-    for prog in ("step", "ppo"):
+    for prog in programs:
+        fn = _PROGRAMS[prog]
         rates = {}
         for n in sizes:
             per_dev = per_dev_weak if mode == "weak" else total // n
             if prog == "step":
-                rate = bench_step(env_name, devices[:n], per_dev, steps)
+                rate = fn(env_name, devices[:n], per_dev, steps)
             else:
-                rate = bench_ppo(env_name, devices[:n], per_dev)
+                rate = fn(env_name, devices[:n], per_dev)
             rates[n] = rate
             ideal = n * rates[1] if mode == "weak" else rates[1]
             print(json.dumps({
@@ -162,14 +209,17 @@ def main() -> None:
         results[prog] = rates
 
     n_max = sizes[-1]
-    ideal = (n_max if mode == "weak" else 1) * results["step"][1]
-    ideal_ppo = (n_max if mode == "weak" else 1) * results["ppo"][1]
-    print(json.dumps({
+    scale = n_max if mode == "weak" else 1
+    summary = {
         "metric": f"{mode}-scaling efficiency @ {n_max} devices ({platform})",
-        "value": round(results["step"][n_max] / ideal, 4),
+        "value": round(results[programs[0]][n_max]
+                       / (scale * results[programs[0]][1]), 4),
         "unit": "fraction",
-        "ppo_efficiency": round(results["ppo"][n_max] / ideal_ppo, 4),
-    }))
+    }
+    for prog in programs[1:]:
+        summary[f"{prog}_efficiency"] = round(
+            results[prog][n_max] / (scale * results[prog][1]), 4)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

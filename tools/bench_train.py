@@ -1,0 +1,85 @@
+"""Steady-state TRAINING throughput: env-steps/s through the full jitted
+PPO epoch (rollout scan + GAE + minibatch SGD) on one chip.
+
+This is the harness behind docs/PERFORMANCE.md's training table (round-2
+recorded config: ant_tag @ 4096 envs, unroll 16, 32 minibatches x 4 update
+epochs, cached autoreset, bf16 nets). Prints one JSON line.
+
+Usage: python tools/bench_train.py [env_name]
+Env overrides: TRAIN_BATCH, TRAIN_UNROLL, TRAIN_MB, TRAIN_EPOCHS,
+TRAIN_AUTORESET (cached|naive), TRAIN_DTYPE (bfloat16|float32),
+TRAIN_REPEATS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_train(env_name: str = "ant_tag", batch: int = 4096,
+                unroll: int = 16, minibatches: int = 32,
+                update_epochs: int = 4, autoreset: str = "cached",
+                dtype: str = "bfloat16", repeats: int = 3) -> dict:
+    from pobrax_tpu.envs import _envs, wrappers
+    from pobrax_tpu.training import ppo
+
+    cfg = ppo.PPOConfig(
+        num_envs=batch, episode_length=1000, unroll_length=unroll,
+        num_minibatches=minibatches, num_update_epochs=update_epochs,
+        network_dtype=dtype)
+    env = _envs[env_name]()
+    wrapped = wrappers.ActionRepeatWrapper(env, cfg.action_repeat)
+    wrapped = wrappers.EpisodeWrapper(wrapped, cfg.episode_length, 1)
+    wrapped = wrappers.VmapWrapper(wrapped, batch_size=batch)
+    wrapped = wrappers.randomized_autoreset(wrapped, autoreset)
+
+    learner = ppo.PPOLearner(wrapped, cfg)
+    key = jax.random.PRNGKey(0)
+    key, k_init, k_reset = jax.random.split(key, 3)
+    ts = learner.init(k_init)
+    env_state = jax.jit(wrapped.reset)(jax.random.split(k_reset, batch))
+    epoch_fn = learner.jit_epoch()
+    steps_per_epoch = unroll * batch * cfg.action_repeat
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    key, k = jax.random.split(key)
+    ts, env_state, metrics = epoch_fn(ts, env_state, k)
+    jax.block_until_ready(metrics["total_loss"])
+    compile_s = time.perf_counter() - t0
+
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        key, k = jax.random.split(key)
+        ts, env_state, metrics = epoch_fn(ts, env_state, k)
+        jax.block_until_ready(metrics["total_loss"])
+        dt = time.perf_counter() - t0
+        best = max(best, steps_per_epoch / dt)
+    return {"metric": f"{env_name} TRAIN env-steps/s/chip @ {batch} envs",
+            "value": round(best, 1), "unit": "env_steps/s/chip",
+            "autoreset": autoreset, "network_dtype": dtype,
+            "unroll": unroll, "minibatches": minibatches,
+            "update_epochs": update_epochs,
+            "compile_s": round(compile_s, 1)}
+
+
+if __name__ == "__main__":
+    out = bench_train(
+        env_name=sys.argv[1] if len(sys.argv) > 1 else "ant_tag",
+        batch=int(os.environ.get("TRAIN_BATCH", "4096")),
+        unroll=int(os.environ.get("TRAIN_UNROLL", "16")),
+        minibatches=int(os.environ.get("TRAIN_MB", "32")),
+        update_epochs=int(os.environ.get("TRAIN_EPOCHS", "4")),
+        autoreset=os.environ.get("TRAIN_AUTORESET", "cached"),
+        dtype=os.environ.get("TRAIN_DTYPE", "bfloat16"),
+        repeats=int(os.environ.get("TRAIN_REPEATS", "3")),
+    )
+    print(json.dumps(out))
