@@ -253,3 +253,35 @@ class TestCachedOnDevice:
         np.testing.assert_array_equal(c[2], c[3])
         np.testing.assert_array_equal(c[3], c[4])
         assert np.abs(c[5] - c[4]).max() > 0
+
+    def test_episode_starts_repeat_within_refresh_window(self, ant):
+        """The SAMPLING-SEMANTICS delta vs naive, pinned (and quantified on
+        heavenhell by tools/autoreset_study.py): between refreshes an env
+        slot restarts from the SAME cached state every time it finishes;
+        naive mode draws a fresh state per reset. This temporal correlation
+        (not a bias — the cache itself is freshly sampled) is the price of
+        the ~31%-cheaper step."""
+        act = jnp.zeros((4, ant.action_size))
+
+        def starts(env, n=9):
+            state, _ = _batched_reset(env, 4)
+
+            def body(s, _):
+                s = env.step(s, act)
+                return s, (s.done, s.obs)
+
+            _, (done, obs) = jax.lax.scan(body, state, None, length=n)
+            d, o = np.asarray(done), np.asarray(obs)
+            return [o[t] for t in range(n) if d[t].all()]
+
+        # episode_length=2 -> a reset every 2 steps; refresh_every=50 ->
+        # never refreshes within the 9-step window
+        cached = starts(self._stack(env=ant, refresh=50))
+        assert len(cached) >= 3
+        for s in cached[1:]:
+            np.testing.assert_array_equal(s, cached[0])
+
+        e = wrappers.EpisodeWrapper(ant, episode_length=2, action_repeat=1)
+        e = wrappers.VmapWrapper(e, batch_size=4)
+        naive = starts(wrappers.RandomizedAutoResetWrapperNaive(e))
+        assert any(np.abs(s - naive[0]).max() > 0 for s in naive[1:])
