@@ -160,6 +160,9 @@ class PPOConfig:
     normalize_observations: bool = True
     normalize_advantages: bool = True
     max_grad_norm: Optional[float] = 0.5
+    # single-vector optimizer update (optax.flatten); per-element math is
+    # unchanged — see _make_optimizer
+    flatten_optimizer: bool = True
     policy_hidden: Tuple[int, ...] = (32, 32, 32, 32)
     value_hidden: Tuple[int, ...] = (256, 256, 256, 256, 256)
     # Minibatch shuffle locality. None = one global permutation of the
@@ -211,6 +214,13 @@ class PPOLearner:
         tx = optax.adam(learning_rate=self.cfg.learning_rate)
         if self.cfg.max_grad_norm is not None:
             tx = optax.chain(optax.clip_by_global_norm(self.cfg.max_grad_norm), tx)
+        if self.cfg.flatten_optimizer:
+            # single-vector Adam: one fused elementwise update over the
+            # concatenated params instead of ~2 dozen per-leaf kernels, in
+            # a scan body that executes serially minibatches x update-epochs
+            # times per epoch. Per-element math is unchanged (global-norm
+            # clip reassociates the sum of squares at float round-off).
+            tx = optax.flatten(tx)
         return tx
 
     # ---- init ----------------------------------------------------------------

@@ -98,6 +98,7 @@ class RNNPPOConfig:
     normalize_observations: bool = True
     normalize_advantages: bool = True
     max_grad_norm: Optional[float] = 0.5
+    flatten_optimizer: bool = True  # single-vector update (see ppo.py)
     encoder_sizes: Tuple[int, ...] = (256,)
     hidden_size: int = 128
 
@@ -123,6 +124,8 @@ class RNNPPOLearner:
         tx = optax.adam(learning_rate=self.cfg.learning_rate)
         if self.cfg.max_grad_norm is not None:
             tx = optax.chain(optax.clip_by_global_norm(self.cfg.max_grad_norm), tx)
+        if self.cfg.flatten_optimizer:
+            tx = optax.flatten(tx)  # single-vector update (see ppo.py)
         return tx
 
     def h0(self, batch: int) -> jnp.ndarray:

@@ -77,9 +77,10 @@ class SACLearner:
         # a shared trunk would make the min() clipping near-vacuous
         self.q_module = networks.MLP(
             layer_sizes=list(cfg.hidden) + [1], activation=jax.nn.relu)
-        self.policy_opt = optax.adam(cfg.learning_rate)
-        self.q_opt = optax.adam(cfg.learning_rate)
-        self.alpha_opt = optax.adam(cfg.learning_rate)
+        # single-vector Adam updates (see ppo.py::_make_optimizer)
+        self.policy_opt = optax.flatten(optax.adam(cfg.learning_rate))
+        self.q_opt = optax.flatten(optax.adam(cfg.learning_rate))
+        self.alpha_opt = optax.adam(cfg.learning_rate)  # scalar already
         self.target_entropy = -0.5 * self.action_size
 
     # ---- init -----------------------------------------------------------------
