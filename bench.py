@@ -146,14 +146,29 @@ def main() -> None:
         }
 
     head = results[headline_mode]
-    print(json.dumps({
+    record = {
         "metric": f"{env_name} env-steps/s/chip @ {batch} envs",
         "value": head["value"],
         "unit": "env_steps/s/chip",
         "vs_baseline": head["vs_baseline"],
         "autoreset": headline_mode,
         "modes": results,
-    }))
+    }
+
+    # BENCH_TRAIN=1: additionally measure steady-state TRAINING throughput
+    # (full PPO epoch at the docs/PERFORMANCE.md recorded config). Opt-in —
+    # it adds a multi-minute epoch compile on TPU; the standing record
+    # lives in TRAINBENCH_r*.json (tools/bench_train.py).
+    if int(os.environ.get("BENCH_TRAIN", "0")):
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.bench_train import bench_train
+        t = bench_train(env_name, batch=batch, autoreset=headline_mode)
+        record["train"] = {"value": t["value"], "unit": t["unit"],
+                           "config": {k: t[k] for k in
+                                      ("network_dtype", "unroll",
+                                       "minibatches", "update_epochs")}}
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
