@@ -59,6 +59,13 @@ def bench(env_name: str = "ant_tag", batch: int = 4096, steps: int = 200,
 
     key = jax.random.PRNGKey(0)
     state = jax.jit(env.reset)(jax.random.split(key, batch))
+    # BENCH_RNG=rbg: draw the harness's ACTION stream from the TPU hardware
+    # RNG instead of threefry (keys carry their impl; the env's own
+    # threefry info-rng — and every fixture — is untouched: only the scan
+    # carry key changes type). The delta measures what the counter-based
+    # threefry action sampling costs the fused step.
+    if os.environ.get("BENCH_RNG") == "rbg":
+        key = jax.random.key(0, impl="rbg")
     rollout_jit = jax.jit(rollout, donate_argnums=(0,))
 
     # warmup / compile

@@ -26,14 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def bench_train(env_name: str = "ant_tag", batch: int = 4096,
                 unroll: int = 16, minibatches: int = 32,
                 update_epochs: int = 4, autoreset: str = "cached",
-                dtype: str = "bfloat16", repeats: int = 3) -> dict:
+                dtype: str = "bfloat16", repeats: int = 3,
+                flatten: bool = True) -> dict:
     from pobrax_tpu.envs import _envs, wrappers
     from pobrax_tpu.training import ppo
 
     cfg = ppo.PPOConfig(
         num_envs=batch, episode_length=1000, unroll_length=unroll,
         num_minibatches=minibatches, num_update_epochs=update_epochs,
-        network_dtype=dtype)
+        network_dtype=dtype, flatten_optimizer=flatten)
     env = _envs[env_name]()
     wrapped = wrappers.ActionRepeatWrapper(env, cfg.action_repeat)
     wrapped = wrappers.EpisodeWrapper(wrapped, cfg.episode_length, 1)
@@ -67,7 +68,7 @@ def bench_train(env_name: str = "ant_tag", batch: int = 4096,
             "value": round(best, 1), "unit": "env_steps/s/chip",
             "autoreset": autoreset, "network_dtype": dtype,
             "unroll": unroll, "minibatches": minibatches,
-            "update_epochs": update_epochs,
+            "update_epochs": update_epochs, "flatten_optimizer": flatten,
             "compile_s": round(compile_s, 1)}
 
 
@@ -81,5 +82,6 @@ if __name__ == "__main__":
         autoreset=os.environ.get("TRAIN_AUTORESET", "cached"),
         dtype=os.environ.get("TRAIN_DTYPE", "bfloat16"),
         repeats=int(os.environ.get("TRAIN_REPEATS", "3")),
+        flatten=os.environ.get("TRAIN_FLATTEN", "1") == "1",
     )
     print(json.dumps(out))
