@@ -392,7 +392,14 @@ def make_fused_step(sys) -> callable:
         pp_scalar_rows = pp_rows
         pp_vec = None
 
-    def step(qp: QP, act: jnp.ndarray) -> Tuple[QP, Info]:
+    def step_core(pos0, rot0, vel0, ang0, act):
+        """Shape-polymorphic step body. Two calling conventions share it:
+        the production vmapped path (arrays (n,3)/(n,4), per-env 0-d
+        scalars, batching via jax.vmap) and the Pallas whole-step kernel
+        (physics/pallas_step.py: arrays (n,3,B)/(n,4,B) with a TRAILING
+        batch axis, so every 'scalar' is a contiguous (B,) vector inside
+        one kernel). All per-scalar math is identical; only the shapes the
+        indexing yields differ."""
         # ---- scalar pack/unpack helpers ---------------------------------------
         def unpack(arr, k):
             return [tuple(arr[i, c] for c in range(k)) for i in range(n)]
@@ -400,8 +407,10 @@ def make_fused_step(sys) -> callable:
         def pack(rows_):
             return jnp.stack([jnp.stack(r) for r in rows_])
 
+        batch_tail = pos0.shape[2:]  # () vmapped / (B,) trailing-batch
+
         def zero3():
-            z = jnp.zeros((), qp.pos.dtype)
+            z = jnp.zeros(batch_tail, pos0.dtype)
             return [(z, z, z) for _ in range(n)]
 
         def contact_impulses(pos, rot, vel, ang):
@@ -470,7 +479,8 @@ def make_fused_step(sys) -> callable:
 
             if pp_vec is not None:
                 pv = pp_vec
-                dt_ = qp.pos.dtype
+                dt_ = pos0.dtype
+                zb = jnp.zeros(batch_tail, dt_)  # shape-normalizer for stacks
 
                 # per-row world point, lever-arm source, and point-body
                 # velocity (scalar per row; stacking K scalars into (K,)
@@ -484,8 +494,11 @@ def make_fused_step(sys) -> callable:
                     AA2.append(ang_of(pa_i))
 
                 def cols(ts):
-                    return [jnp.stack([jnp.asarray(t[c_], dt_) for t in ts],
-                                      -1) for c_ in range(3)]
+                    # +zb broadcasts python-float entries (frozen bodies) to
+                    # the batch tail so the stack is shape-uniform in BOTH
+                    # calling conventions
+                    return [jnp.stack([jnp.asarray(t[c_], dt_) + zb
+                                       for t in ts], -1) for c_ in range(3)]
 
                 p_w = cols(PW)
                 pa2 = cols(PA2)
@@ -497,7 +510,9 @@ def make_fused_step(sys) -> callable:
                 for u, bb in enumerate(pv["uniq_b"]):
                     mask = jnp.asarray(pv["b_mask"][u], dt_)  # (K,)
                     pbb = pos[bb]
-                    plane_pt = [plane_pt[c_] + mask * pbb[c_]
+                    # pbb[c_] is a batch scalar; [..., None] aligns it with
+                    # the trailing-K column convention in both modes
+                    plane_pt = [plane_pt[c_] + mask * pbb[c_][..., None]
                                 for c_ in range(3)]
 
                 n_k = [jnp.asarray(pv["normal_cols"][c_], dt_)
@@ -627,17 +642,20 @@ def make_fused_step(sys) -> callable:
 
             if cb_vec is not None:
                 cv = cb_vec
-                dt_ = qp.pos.dtype
+                dt_ = pos0.dtype
+                zbc = jnp.zeros(batch_tail, dt_)
                 reps = cv["cap_repeats"]
                 K_rows = int(reps.sum())
 
                 def rep(ts):
                     """C per-capsule scalar 3-tuples -> 3 (K,) columns via
-                    static repeat (concat of broadcasts; no gather/matmul)."""
+                    static repeat (concat of broadcasts; no gather/matmul).
+                    +zbc keeps the stack shape-uniform when some entries are
+                    python-float constants (frozen bodies)."""
                     cols = []
                     for c_ in range(3):
-                        col = jnp.stack([jnp.asarray(t[c_], dt_) for t in ts],
-                                        -1)  # (..., C)
+                        col = jnp.stack([jnp.asarray(t[c_], dt_) + zbc
+                                         for t in ts], -1)  # (..., C)
                         cols.append(jnp.repeat(col, reps, axis=-1,
                                                total_repeat_length=K_rows))
                     return cols
@@ -663,7 +681,7 @@ def make_fused_step(sys) -> callable:
                 for u, bb in enumerate(cv["uniq_b"]):
                     mask = jnp.asarray(cv["b_mask"][u, :, 0], dt_)  # (K,)
                     pbb = pos[bb]
-                    box_pos_k = [box_pos_k[c_] + mask * pbb[c_]
+                    box_pos_k = [box_pos_k[c_] + mask * pbb[c_][..., None]
                                  for c_ in range(3)]
 
                 # constant rotation as 9 (K,) columns; R @ v and R^T @ v are
@@ -883,9 +901,17 @@ def make_fused_step(sys) -> callable:
             carry = (pack(pos), pack(rot), pack(vel), pack(ang), info_acc)
             return carry, None
 
-        info0 = Info.zero(n, qp.pos.dtype)
-        carry0 = (qp.pos, qp.rot, qp.vel, qp.ang, info0)
+        z3 = jnp.zeros_like(pos0)
+        info0 = Info(contact=P(vel=z3, ang=z3), joint=P(vel=z3, ang=z3),
+                     actuator=P(vel=z3, ang=z3))
+        carry0 = (pos0, rot0, vel0, ang0, info0)
         (p_, r_, v_, a_, info), _ = jax.lax.scan(substep, carry0, None, length=substeps)
+        return (p_, r_, v_, a_), info
+
+    def step(qp: QP, act: jnp.ndarray) -> Tuple[QP, Info]:
+        (p_, r_, v_, a_), info = step_core(qp.pos, qp.rot, qp.vel, qp.ang, act)
         return QP(pos=p_, rot=r_, vel=v_, ang=a_), info
+
+    step.core = step_core  # trailing-batch entry for the Pallas kernel
 
     return step

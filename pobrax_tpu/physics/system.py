@@ -82,6 +82,14 @@ class System:
         if use_fused:
             from pobrax_tpu.physics import fused
             self._fused_step = fused.make_fused_step(self)
+            # POBRAX_PALLAS=1: vmapped callers run the whole control step
+            # (all substeps + contacts) inside ONE Pallas kernel, state
+            # resident in VMEM (physics/pallas_step.py). Unbatched callers
+            # keep the plain fused path via custom_vmap dispatch.
+            if os.environ.get("POBRAX_PALLAS") == "1":
+                from pobrax_tpu.physics import pallas_step
+                self._fused_step = pallas_step.wrap_custom_vmap(
+                    self, self._fused_step)
         else:
             self._fused_step = None
 
