@@ -72,7 +72,64 @@ def bench_train(env_name: str = "ant_tag", batch: int = 4096,
             "compile_s": round(compile_s, 1)}
 
 
+def bench_train_rnn(env_name: str = "ant_tag", batch: int = 2048,
+                    unroll: int = 32, minibatches: int = 8,
+                    update_epochs: int = 4, autoreset: str = "cached",
+                    repeats: int = 3) -> dict:
+    """Steady-state GRU-PPO epoch throughput (TRAIN_PROGRAM=rnn)."""
+    from pobrax_tpu.envs import _envs, wrappers
+    from pobrax_tpu.training import ppo_rnn
+
+    cfg = ppo_rnn.RNNPPOConfig(
+        num_envs=batch, episode_length=1000, unroll_length=unroll,
+        num_minibatches=minibatches, num_update_epochs=update_epochs)
+    env = _envs[env_name]()
+    wrapped = wrappers.ActionRepeatWrapper(env, cfg.action_repeat)
+    wrapped = wrappers.EpisodeWrapper(wrapped, cfg.episode_length, 1)
+    wrapped = wrappers.VmapWrapper(wrapped, batch_size=batch)
+    wrapped = wrappers.randomized_autoreset(wrapped, autoreset)
+
+    learner = ppo_rnn.RNNPPOLearner(wrapped, cfg)
+    key = jax.random.PRNGKey(0)
+    key, k_init, k_reset = jax.random.split(key, 3)
+    ts = learner.init(k_init)
+    env_state = jax.jit(wrapped.reset)(jax.random.split(k_reset, batch))
+    h = learner.h0(batch)
+    epoch_fn = learner.jit_epoch()
+    steps_per_epoch = unroll * batch * cfg.action_repeat
+
+    t0 = time.perf_counter()
+    key, k = jax.random.split(key)
+    ts, env_state, h, metrics = epoch_fn(ts, env_state, h, k)
+    jax.block_until_ready(metrics["total_loss"])
+    compile_s = time.perf_counter() - t0
+
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        key, k = jax.random.split(key)
+        ts, env_state, h, metrics = epoch_fn(ts, env_state, h, k)
+        jax.block_until_ready(metrics["total_loss"])
+        best = max(best, steps_per_epoch / (time.perf_counter() - t0))
+    return {"metric": f"{env_name} RNN TRAIN env-steps/s/chip @ {batch} envs",
+            "value": round(best, 1), "unit": "env_steps/s/chip",
+            "autoreset": autoreset, "unroll": unroll,
+            "minibatches": minibatches, "update_epochs": update_epochs,
+            "compile_s": round(compile_s, 1)}
+
+
 if __name__ == "__main__":
+    if os.environ.get("TRAIN_PROGRAM") == "rnn":
+        print(json.dumps(bench_train_rnn(
+            env_name=sys.argv[1] if len(sys.argv) > 1 else "ant_tag",
+            batch=int(os.environ.get("TRAIN_BATCH", "2048")),
+            unroll=int(os.environ.get("TRAIN_UNROLL", "32")),
+            minibatches=int(os.environ.get("TRAIN_MB", "8")),
+            update_epochs=int(os.environ.get("TRAIN_EPOCHS", "4")),
+            autoreset=os.environ.get("TRAIN_AUTORESET", "cached"),
+            repeats=int(os.environ.get("TRAIN_REPEATS", "3")),
+        )))
+        raise SystemExit(0)
     out = bench_train(
         env_name=sys.argv[1] if len(sys.argv) > 1 else "ant_tag",
         batch=int(os.environ.get("TRAIN_BATCH", "4096")),
