@@ -6,6 +6,8 @@ coming from the reference's import path.
 """
 
 from pobrax_tpu.models import networks
-from pobrax_tpu.training import distribution, ppo, running_statistics
+from pobrax_tpu.training import (distribution, ppo, ppo_rnn, replay,
+                                 running_statistics, sac, sac_rnn)
 
-__all__ = ["networks", "distribution", "ppo", "running_statistics"]
+__all__ = ["networks", "distribution", "ppo", "ppo_rnn", "replay",
+           "running_statistics", "sac", "sac_rnn"]

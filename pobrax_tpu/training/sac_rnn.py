@@ -1,0 +1,498 @@
+"""Recurrent Soft Actor-Critic: off-policy memory agent for the PO suite.
+
+R2D2-style sequence replay (docs/LEARNING.md motivates memory for the PO
+envs; the reference stack has no trainer at all — SURVEY.md §3.5). Design:
+
+  * actor: obs -> MLP encoder -> GRU -> tanh-normal head (same recurrent
+    cell as ppo_rnn's policy).
+  * critics: obs -> MLP encoder -> GRU -> concat(features, action) -> MLP
+    -> q. The action joins AFTER the recurrence, so the hidden state
+    evolves on the observation history only — Q(h_t, a) for arbitrary `a`
+    (the sampled next action, the actor's reparameterized action) needs no
+    counterfactual replay of the GRU. Twin critics = stacked params,
+    vmapped apply, like sac.py.
+  * replay: each slot stores a WHOLE (seq_len, num_envs, ...) sequence
+    plus the actor's hidden state at the sequence start (R2D2's stored
+    recurrent state). Sampling draws (slot, env-column) pairs ->
+    decorrelated (seq_len, batch, ...) sequences.
+  * burn-in: the first `burn_in` steps of a sampled sequence only warm the
+    hiddens (stop-gradient, losses masked out); critic hiddens start at
+    zero, the actor's from the stored h0. Hiddens are zeroed where a step
+    ended (fresh episode -> fresh memory), mirroring the rollout.
+  * everything else (tanh-normal dist, learned temperature, soft target
+    update, truncation-aware bootstrapping through info['final_obs'])
+    matches training/sac.py.
+
+One jitted epoch = `seqs_per_epoch` x (seq_len env steps -> one sequence
+insert -> `grad_steps_per_seq` gradient steps), all inside `lax.scan`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen
+from flax import struct
+
+from pobrax_tpu.envs.base import Env, State
+from pobrax_tpu.training import replay, running_statistics
+from pobrax_tpu.training.distribution import NormalTanhDistribution
+
+
+class ActorGRU(linen.Module):
+    encoder_sizes: Tuple[int, ...]
+    hidden_size: int
+    out_size: int
+
+    @linen.compact
+    def __call__(self, h, obs):
+        x = obs
+        for i, size in enumerate(self.encoder_sizes):
+            x = linen.swish(linen.Dense(size, name=f"enc_{i}")(x))
+        h, y = linen.GRUCell(features=self.hidden_size, name="gru")(h, x)
+        return h, linen.Dense(self.out_size, name="head")(y)
+
+
+class CriticGRU(linen.Module):
+    """Recurrent trunk on obs; action joins at the head (see module doc)."""
+
+    encoder_sizes: Tuple[int, ...]
+    hidden_size: int
+    head_sizes: Tuple[int, ...]
+
+    @linen.compact
+    def trunk(self, h, obs):
+        x = obs
+        for i, size in enumerate(self.encoder_sizes):
+            x = linen.swish(linen.Dense(size, name=f"enc_{i}")(x))
+        h, y = linen.GRUCell(features=self.hidden_size, name="gru")(h, x)
+        return h, y
+
+    @linen.compact
+    def head(self, y, action):
+        x = jnp.concatenate([y, action], axis=-1)
+        for i, size in enumerate(self.head_sizes):
+            x = linen.swish(linen.Dense(size, name=f"head_{i}")(x))
+        return jnp.squeeze(linen.Dense(1, name="q")(x), axis=-1)
+
+    def __call__(self, h, obs, action):  # used only for init
+        h, y = self.trunk(h, obs)
+        return h, self.head(y, action)
+
+
+@struct.dataclass
+class RSACParams:
+    policy: Any
+    q: Any
+    target_q: Any
+    log_alpha: jnp.ndarray
+
+
+@struct.dataclass
+class RSACTrainingState:
+    params: RSACParams
+    policy_opt: Any
+    q_opt: Any
+    alpha_opt: Any
+    normalizer: running_statistics.RunningStatisticsState
+    buffer: replay.ReplayState
+    epochs: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class RSACConfig:
+    num_timesteps: int = 1_000_000
+    num_envs: int = 64
+    episode_length: int = 1000
+    seq_len: int = 16  # stored sequence length (burn_in + trained steps)
+    burn_in: int = 4
+    replay_capacity: int = 512  # sequence slots
+    batch_size: int = 64  # sequences per gradient step
+    seqs_per_epoch: int = 4
+    grad_steps_per_seq: int = 1
+    min_replay: int = 16  # sequence slots before training starts
+    learning_rate: float = 3e-4
+    discounting: float = 0.99
+    tau: float = 0.005
+    reward_scaling: float = 1.0
+    normalize_observations: bool = True
+    encoder_sizes: Tuple[int, ...] = (128,)
+    hidden_size: int = 64
+    head_sizes: Tuple[int, ...] = (128,)
+
+
+class RSACLearner:
+    def __init__(self, env: Env, cfg: RSACConfig):
+        if cfg.burn_in >= cfg.seq_len:
+            raise ValueError("burn_in must be < seq_len")
+        self.env = env
+        self.cfg = cfg
+        self.obs_size = env.observation_size
+        self.action_size = env.action_size
+        self.dist = NormalTanhDistribution(event_size=self.action_size)
+        self.actor = ActorGRU(encoder_sizes=cfg.encoder_sizes,
+                              hidden_size=cfg.hidden_size,
+                              out_size=self.dist.param_size)
+        self.critic = CriticGRU(encoder_sizes=cfg.encoder_sizes,
+                                hidden_size=cfg.hidden_size,
+                                head_sizes=cfg.head_sizes)
+        self.policy_opt = optax.flatten(optax.adam(cfg.learning_rate))
+        self.q_opt = optax.flatten(optax.adam(cfg.learning_rate))
+        self.alpha_opt = optax.adam(cfg.learning_rate)
+        self.target_entropy = -0.5 * self.action_size
+
+    def h0(self, batch: int) -> jnp.ndarray:
+        return jnp.zeros((batch, self.cfg.hidden_size))
+
+    # ---- init -----------------------------------------------------------------
+
+    def init(self, key: jnp.ndarray, env_state: State) -> RSACTrainingState:
+        kp, kq = jax.random.split(key)
+        B = env_state.obs.shape[0]
+        dummy_h = self.h0(1)
+        dummy_obs = jnp.zeros((1, self.obs_size))
+        dummy_act = jnp.zeros((1, self.action_size))
+        policy = self.actor.init(kp, dummy_h, dummy_obs)
+        q = jax.vmap(lambda k: self.critic.init(k, dummy_h, dummy_obs,
+                                                dummy_act))(
+            jax.random.split(kq, 2))
+        params = RSACParams(policy=policy, q=q,
+                            target_q=jax.tree.map(jnp.copy, q),
+                            log_alpha=jnp.zeros(()))
+        L = self.cfg.seq_len
+        seq_sample = {
+            "obs": jnp.zeros((L, B, self.obs_size)),
+            "action": jnp.zeros((L, B, self.action_size)),
+            "reward": jnp.zeros((L, B)),
+            "done": jnp.zeros((L, B)),
+            "truncation": jnp.zeros((L, B)),
+            "final_obs": jnp.zeros((L, B, self.obs_size)),
+            "h0": jnp.zeros((B, self.cfg.hidden_size)),
+        }
+        return RSACTrainingState(
+            params=params,
+            policy_opt=self.policy_opt.init(policy),
+            q_opt=self.q_opt.init(q),
+            alpha_opt=self.alpha_opt.init(params.log_alpha),
+            normalizer=running_statistics.init_state(self.obs_size),
+            buffer=replay.init(seq_sample, self.cfg.replay_capacity),
+            epochs=jnp.zeros((), jnp.int32),
+        )
+
+    # ---- pieces ---------------------------------------------------------------
+
+    def _norm(self, normalizer, obs):
+        if self.cfg.normalize_observations:
+            return running_statistics.normalize(normalizer, obs)
+        return obs
+
+    def _actor_roll(self, policy_params, h, obs_seq, done_seq):
+        """Roll the actor GRU over (T, batch, obs); hiddens zeroed after a
+        done step. Returns per-step dist params (T, batch, P)."""
+        def step(h, xs):
+            obs, done = xs
+            nh, dp = self.actor.apply(policy_params, h, obs)
+            nh = nh * (1.0 - done[:, None])
+            return nh, dp
+        return jax.lax.scan(step, h, (obs_seq, done_seq))
+
+    def _critic_roll(self, q_params, h, obs_seq, done_seq):
+        """Roll BOTH critics' GRU trunks (stacked params) over the obs
+        sequence. h: (2, batch, H). Returns features (T, 2, batch, H)."""
+        def step(h, xs):
+            obs, done = xs
+            nh, y = jax.vmap(
+                lambda p, hh: self.critic.apply(p, hh, obs,
+                                                method=self.critic.trunk)
+            )(q_params, h)
+            nh = nh * (1.0 - done[None, :, None])
+            return nh, y
+        return jax.lax.scan(step, h, (obs_seq, done_seq))
+
+    def _q_head(self, q_params, y, action):
+        """y: (..., 2, batch, H); action: (..., batch, A) -> (..., batch, 2)."""
+        out = jax.vmap(
+            lambda p, yy: self.critic.apply(p, yy, action,
+                                            method=self.critic.head),
+            in_axes=(0, -3), out_axes=-2,
+        )(q_params, y)
+        return jnp.moveaxis(out, -2, -1)
+
+    # ---- losses over a sampled sequence batch ----------------------------------
+
+    def _roll_all(self, params: RSACParams, normalizer, seq):
+        """Shared rollouts for both losses: actor dist params and critic
+        features over the whole sequence (burn-in included; the caller
+        masks). Also returns the FINAL actor/target-critic carries for the
+        last-step bootstrap."""
+        obs = self._norm(normalizer, seq["obs"])
+        done = seq["done"]
+        B = obs.shape[1]
+        h_a = jax.lax.stop_gradient(seq["h0"])
+        h_a_end, dp = self._actor_roll(params.policy, h_a, obs, done)
+        hq = jnp.zeros((2, B, self.cfg.hidden_size))
+        _, y = self._critic_roll(params.q, hq, obs, done)
+        h_qt_end, y_tgt = self._critic_roll(params.target_q, hq, obs, done)
+        return obs, dp, y, y_tgt, h_a_end, h_qt_end
+
+    def _losses(self, params: RSACParams, normalizer, seq, key):
+        """Returns (critic_loss, actor_loss, logp) with burn-in masking.
+
+        The training segment is steps [burn_in, L-1]; step t bootstraps
+        from step t+1's quantities, except the LAST step which bootstraps
+        from final_obs via one extra trunk step (handles both mid-sequence
+        and truncation-at-rollout-boundary cases)."""
+        cfg = self.cfg
+        L = cfg.seq_len
+        alpha = jnp.exp(params.log_alpha)
+        obs, dp, y, y_tgt, h_a_end, h_qt_end = self._roll_all(
+            params, normalizer, seq)
+
+        k1, k2 = jax.random.split(key)
+        pre = self.dist.sample_no_postprocess(dp, k1)
+        a_pi = self.dist.postprocess(pre)
+        logp = self.dist.log_prob(dp, pre)  # (L, B)
+
+        # --- critic target: v_{t+1} = min_q_tgt(y_tgt_{t+1}, a_pi_{t+1}) -
+        # alpha * logp_{t+1}, shifted so target_t pairs with reward_t.
+        q_next = self._q_head(params.target_q, y_tgt, a_pi)  # (L, B, 2)
+        v_next = jnp.min(q_next, axis=-1) - alpha * logp  # (L, B)
+        # the LAST step bootstraps from the stored pre-reset final
+        # observation via one extra actor/target-trunk step on the final
+        # rollout carries (so truncation at the sequence boundary still
+        # bootstraps, termination is masked by not_terminal below)
+        fin = self._norm(normalizer, seq["final_obs"][-1])
+        _, dp_fin = self.actor.apply(params.policy, h_a_end, fin)
+        pre_fin = self.dist.sample_no_postprocess(dp_fin, k2)
+        a_fin = self.dist.postprocess(pre_fin)
+        logp_fin = self.dist.log_prob(dp_fin, pre_fin)
+        _, y_fin = jax.vmap(lambda p, hh: self.critic.apply(
+            p, hh, fin, method=self.critic.trunk))(params.target_q, h_qt_end)
+        q_fin = self._q_head(params.target_q, y_fin, a_fin)  # (B, 2)
+        v_fin = jnp.min(q_fin, axis=-1) - alpha * logp_fin
+        v_boot = jnp.concatenate([v_next[1:], v_fin[None]], axis=0)
+
+        not_terminal = 1.0 - seq["done"] * (1.0 - seq["truncation"])
+        target = jax.lax.stop_gradient(
+            seq["reward"] * cfg.reward_scaling
+            + cfg.discounting * not_terminal * v_boot)
+
+        q_taken = self._q_head(params.q, y, seq["action"])  # (L, B, 2)
+        mask = jnp.zeros((L, 1))
+        mask = mask.at[cfg.burn_in:].set(1.0)
+        denom = jnp.maximum(mask.sum() * q_taken.shape[1], 1.0)
+        critic_loss = 0.5 * jnp.sum(
+            mask[..., None] * jnp.square(q_taken - target[..., None])) / denom
+
+        # --- actor loss on the training segment, via the ONLINE critic
+        # features (gradient reaches the actor only through the action)
+        q_pi = self._q_head(params.q, jax.lax.stop_gradient(y), a_pi)
+        actor_loss = jnp.sum(
+            mask * (alpha * logp - jnp.min(q_pi, axis=-1))) / denom
+        logp_masked = jax.lax.stop_gradient(
+            jnp.sum(mask * logp) / denom)
+        return critic_loss, actor_loss, logp_masked
+
+    def _critic_loss(self, q_params, params, normalizer, seq, key):
+        p = params.replace(q=q_params)
+        closs, _, _ = self._losses(p, normalizer, seq, key)
+        return closs
+
+    def _actor_loss(self, policy_params, params, normalizer, seq, key):
+        p = params.replace(policy=policy_params)
+        _, aloss, logp = self._losses(p, normalizer, seq, key)
+        return aloss, logp
+
+    def _alpha_loss(self, log_alpha, logp):
+        return -jnp.exp(log_alpha) * (logp + self.target_entropy)
+
+    # ---- the fused epoch -------------------------------------------------------
+
+    def build_epoch_fn(self) -> Callable:
+        cfg = self.cfg
+
+        def grad_step(ts: RSACTrainingState, key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            # draw (slot, env-column) pairs: storage is (capacity, L, B, ...)
+            # with the env-column axis AFTER time, so the generic
+            # replay.sample_transitions layout doesn't apply here
+            k_slot, k_col = jax.random.split(k1)
+            size = jnp.maximum(ts.buffer.size, 1)
+            slot = jax.random.randint(k_slot, (cfg.batch_size,), 0, size)
+            B_env = ts.buffer.data["h0"].shape[1]
+            col = jax.random.randint(k_col, (cfg.batch_size,), 0, B_env)
+            seq = {
+                "h0": ts.buffer.data["h0"][slot, col],
+                # advanced indexing puts the paired (slot, col) batch axis
+                # first: (batch, L, ...) -> time-major (L, batch, ...)
+                **{f: jnp.moveaxis(ts.buffer.data[f][slot, :, col], 0, 1)
+                   for f in ("obs", "action", "reward", "done",
+                             "truncation", "final_obs")},
+            }
+
+            q_loss, q_grads = jax.value_and_grad(self._critic_loss)(
+                ts.params.q, ts.params, ts.normalizer, seq, k2)
+            q_updates, q_opt = self.q_opt.update(q_grads, ts.q_opt)
+            q_params = optax.apply_updates(ts.params.q, q_updates)
+
+            (a_loss, logp), a_grads = jax.value_and_grad(
+                self._actor_loss, has_aux=True)(
+                ts.params.policy, ts.params, ts.normalizer, seq, k3)
+            p_updates, policy_opt = self.policy_opt.update(
+                a_grads, ts.policy_opt)
+            policy_params = optax.apply_updates(ts.params.policy, p_updates)
+
+            al_loss, al_grads = jax.value_and_grad(self._alpha_loss)(
+                ts.params.log_alpha, logp)
+            al_updates, alpha_opt = self.alpha_opt.update(
+                al_grads, ts.alpha_opt)
+            log_alpha = optax.apply_updates(ts.params.log_alpha, al_updates)
+
+            target_q = jax.tree.map(
+                lambda t, o: t * (1.0 - cfg.tau) + o * cfg.tau,
+                ts.params.target_q, q_params)
+            params = RSACParams(policy=policy_params, q=q_params,
+                                target_q=target_q, log_alpha=log_alpha)
+            ts = ts.replace(params=params, policy_opt=policy_opt,
+                            q_opt=q_opt, alpha_opt=alpha_opt)
+            return ts, {"q_loss": q_loss, "actor_loss": a_loss,
+                        "alpha": jnp.exp(log_alpha)}
+
+        def collect_seq(ts, env_state, h, key):
+            """seq_len acting steps -> one (L, B, ...) sequence + h0."""
+            h_start = h
+
+            def one_step(carry, _):
+                env_state, h, key, normalizer = carry
+                key, k_act = jax.random.split(key)
+                obs_n = self._norm(normalizer, env_state.obs)
+                nh, dp = self.actor.apply(ts.params.policy, h, obs_n)
+                pre = self.dist.sample_no_postprocess(dp, k_act)
+                action = self.dist.postprocess(pre)
+                nstate = self.env.step(env_state, action)
+                nh = nh * (1.0 - nstate.done[:, None])
+                if cfg.normalize_observations:
+                    normalizer = running_statistics.update(
+                        normalizer, env_state.obs)
+                row = {
+                    "obs": env_state.obs,
+                    "action": action,
+                    "reward": nstate.reward,
+                    "done": nstate.done,
+                    "truncation": nstate.info.get(
+                        "truncation", jnp.zeros_like(nstate.done)),
+                    "final_obs": nstate.info.get("final_obs", nstate.obs),
+                }
+                return (nstate, nh, key, normalizer), row
+
+            (env_state, h, _, normalizer), rows = jax.lax.scan(
+                one_step, (env_state, h, key, ts.normalizer), None,
+                length=cfg.seq_len)
+            seq = {**rows, "h0": h_start}
+            return env_state, h, normalizer, seq
+
+        def epoch(ts: RSACTrainingState, env_state: State, h: jnp.ndarray,
+                  key: jnp.ndarray):
+            def one_chunk(carry, _):
+                ts, env_state, h, key = carry
+                key, k_seq, k_grad = jax.random.split(key, 3)
+                env_state, h, normalizer, seq = collect_seq(
+                    ts, env_state, h, k_seq)
+                ts = ts.replace(buffer=replay.insert(ts.buffer, seq),
+                                normalizer=normalizer)
+
+                def do_grads(ts):
+                    ts2, metrics = ts, None
+                    for i in range(cfg.grad_steps_per_seq):
+                        ts2, metrics = grad_step(
+                            ts2, jax.random.fold_in(k_grad, i))
+                    return ts2, metrics
+
+                def skip(ts):
+                    return ts, {"q_loss": jnp.float32(0),
+                                "actor_loss": jnp.float32(0),
+                                "alpha": jnp.exp(ts.params.log_alpha)}
+
+                ts, metrics = jax.lax.cond(
+                    ts.buffer.size >= cfg.min_replay, do_grads, skip, ts)
+                metrics["mean_reward"] = jnp.mean(seq["reward"])
+                return (ts, env_state, h, key), metrics
+
+            (ts, env_state, h, _), metrics = jax.lax.scan(
+                one_chunk, (ts, env_state, h, key), None,
+                length=cfg.seqs_per_epoch)
+            ts = ts.replace(epochs=ts.epochs + 1)
+            return ts, env_state, h, jax.tree.map(jnp.mean, metrics)
+
+        return epoch
+
+    def make_inference_fn(self) -> Callable:
+        """`h, action = inference_fn(params_tuple, h, obs, key)` — same
+        recurrent contract as ppo_rnn."""
+        def policy(params_tuple, h, obs, key, deterministic: bool = False):
+            normalizer, policy_params = params_tuple
+            nh, dp = self.actor.apply(policy_params, h,
+                                      self._norm(normalizer, obs))
+            if deterministic:
+                return nh, self.dist.mode(dp)
+            return nh, self.dist.sample(dp, key)
+        return policy
+
+
+def train(
+    env: Env,
+    cfg: Optional[RSACConfig] = None,
+    seed: int = 0,
+    progress_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    autoreset_mode: str = "naive",
+    watchdog_deadline_s: Optional[float] = 1800.0,
+    **cfg_overrides,
+):
+    """Train recurrent SAC on a core env; returns
+    (inference_fn, params_tuple, history)."""
+    from pobrax_tpu.envs import wrappers
+    from pobrax_tpu.parallel import health
+
+    cfg = dataclasses.replace(cfg or RSACConfig(), **cfg_overrides)
+    wrapped = wrappers.EpisodeWrapper(env, cfg.episode_length, 1)
+    wrapped = wrappers.VmapWrapper(wrapped, batch_size=cfg.num_envs)
+    wrapped = wrappers.randomized_autoreset(wrapped, autoreset_mode)
+
+    learner = RSACLearner(wrapped, cfg)
+    key = jax.random.PRNGKey(seed)
+    key, k_init, k_reset = jax.random.split(key, 3)
+    env_state = jax.jit(wrapped.reset)(jax.random.split(k_reset, cfg.num_envs))
+    ts = learner.init(k_init, env_state)
+    h = learner.h0(cfg.num_envs)
+    epoch_fn = jax.jit(learner.build_epoch_fn(), donate_argnums=(0,))
+
+    steps_per_epoch = cfg.seqs_per_epoch * cfg.seq_len * cfg.num_envs
+    num_epochs = max(1, cfg.num_timesteps // steps_per_epoch)
+    history = []
+    t0 = time.perf_counter()
+    wd = (health.Watchdog(deadline_s=watchdog_deadline_s).start_monitor()
+          if watchdog_deadline_s else None)
+    if jax.process_count() > 1:
+        health.ping()
+    try:
+        for i in range(num_epochs):
+            key, k_epoch = jax.random.split(key)
+            ts, env_state, h, metrics = epoch_fn(ts, env_state, h, k_epoch)
+            if wd is not None:
+                jax.block_until_ready(metrics)
+                wd.beat()
+            if progress_fn is not None:
+                metrics = jax.tree.map(float, jax.device_get(metrics))
+                metrics["steps_per_second"] = (
+                    (i + 1) * steps_per_epoch / (time.perf_counter() - t0))
+                history.append(metrics)
+                progress_fn((i + 1) * steps_per_epoch, metrics)
+    finally:
+        if wd is not None:
+            wd.stop_monitor()
+    return learner.make_inference_fn(), (ts.normalizer, ts.params.policy), history

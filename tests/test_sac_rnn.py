@@ -1,0 +1,130 @@
+"""Recurrent SAC (training/sac_rnn.py): structure + smoke training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pobrax_tpu.envs.pendulum import InvertedPendulum
+from pobrax_tpu.training import sac_rnn
+
+
+def _mini_cfg(**kw):
+    base = dict(num_envs=4, episode_length=32, seq_len=8, burn_in=2,
+                replay_capacity=16, batch_size=8, seqs_per_epoch=2,
+                min_replay=1, encoder_sizes=(16,), hidden_size=8,
+                head_sizes=(16,))
+    base.update(kw)
+    return sac_rnn.RSACConfig(**base)
+
+
+def test_smoke_train_finite_losses():
+    hist = []
+    inference_fn, params_tuple, _ = sac_rnn.train(
+        InvertedPendulum(), _mini_cfg(), num_timesteps=4 * 2 * 8 * 4,
+        seed=0, progress_fn=lambda s, m: hist.append(m),
+        watchdog_deadline_s=None)
+    assert len(hist) >= 2
+    for m in hist:
+        assert np.isfinite(m["q_loss"]) and np.isfinite(m["actor_loss"])
+        assert m["alpha"] > 0
+
+    # recurrent inference contract: h threads through
+    env = InvertedPendulum()
+    h = jnp.zeros((1, 8))
+    obs = jnp.zeros((1, env.observation_size))
+    h2, act = inference_fn(params_tuple, h, obs, jax.random.PRNGKey(0))
+    assert h2.shape == h.shape and act.shape == (1, env.action_size)
+    assert np.abs(np.asarray(act)).max() <= 1.0
+
+
+def test_sequence_buffer_roundtrip():
+    from pobrax_tpu.envs import wrappers
+    from pobrax_tpu.training import replay
+
+    env = wrappers.RandomizedAutoResetWrapperNaive(wrappers.VmapWrapper(
+        wrappers.EpisodeWrapper(InvertedPendulum(), 32, 1), batch_size=4))
+    cfg = _mini_cfg()
+    learner = sac_rnn.RSACLearner(env, cfg)
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(env.reset)(jax.random.split(key, 4))
+    ts = learner.init(key, state)
+    # seq leaves shaped (capacity, L, B, ...) / h0 (capacity, B, H)
+    assert ts.buffer.data["obs"].shape == (
+        cfg.replay_capacity, cfg.seq_len, 4, env.observation_size)
+    assert ts.buffer.data["h0"].shape == (
+        cfg.replay_capacity, 4, cfg.hidden_size)
+    seq = {
+        "obs": jnp.ones((cfg.seq_len, 4, env.observation_size)),
+        "action": jnp.ones((cfg.seq_len, 4, env.action_size)),
+        "reward": jnp.ones((cfg.seq_len, 4)),
+        "done": jnp.zeros((cfg.seq_len, 4)),
+        "truncation": jnp.zeros((cfg.seq_len, 4)),
+        "final_obs": jnp.ones((cfg.seq_len, 4, env.observation_size)),
+        "h0": jnp.ones((4, cfg.hidden_size)),
+    }
+    buf = replay.insert(ts.buffer, seq)
+    assert int(buf.size) == 1
+    np.testing.assert_array_equal(np.asarray(buf.data["obs"][0]),
+                                  np.ones((cfg.seq_len, 4,
+                                           env.observation_size)))
+
+
+def test_done_resets_hidden_in_rollouts():
+    """With done=1 at every step, the actor GRU restarts from zero hidden
+    each step, so identical observations must yield identical dist params
+    at every timestep."""
+    env = InvertedPendulum()
+    cfg = _mini_cfg()
+    from pobrax_tpu.envs import wrappers
+    wrapped = wrappers.RandomizedAutoResetWrapperNaive(wrappers.VmapWrapper(
+        wrappers.EpisodeWrapper(env, 32, 1), batch_size=4))
+    learner = sac_rnn.RSACLearner(wrapped, cfg)
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(wrapped.reset)(jax.random.split(key, 4))
+    ts = learner.init(key, state)
+
+    T = 5
+    obs_seq = jnp.tile(jnp.linspace(-1, 1, env.observation_size)[None, None],
+                       (T, 4, 1))
+    done_all = jnp.ones((T, 4))
+    h0 = jnp.ones((4, cfg.hidden_size))  # non-zero start: step 0 differs
+    _, dp = learner._actor_roll(ts.params.policy, jnp.zeros_like(h0),
+                                obs_seq, done_all)
+    dp = np.asarray(dp)
+    for t in range(1, T):
+        np.testing.assert_allclose(dp[t], dp[1], rtol=1e-6)
+
+    # without dones the hidden evolves -> dist params change over time
+    _, dp2 = learner._actor_roll(ts.params.policy, jnp.zeros_like(h0),
+                                 obs_seq, jnp.zeros((T, 4)))
+    assert np.abs(np.asarray(dp2)[1] - np.asarray(dp2)[4]).max() > 1e-6
+
+
+def test_grads_flow_to_both_heads():
+    from pobrax_tpu.envs import wrappers
+
+    env = wrappers.RandomizedAutoResetWrapperNaive(wrappers.VmapWrapper(
+        wrappers.EpisodeWrapper(InvertedPendulum(), 32, 1), batch_size=4))
+    cfg = _mini_cfg()
+    learner = sac_rnn.RSACLearner(env, cfg)
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(env.reset)(jax.random.split(key, 4))
+    ts = learner.init(key, state)
+    L, B = cfg.seq_len, 3
+    k = jax.random.PRNGKey(1)
+    seq = {
+        "obs": jax.random.normal(k, (L, B, learner.obs_size)),
+        "action": jnp.clip(jax.random.normal(k, (L, B, learner.action_size)),
+                           -0.9, 0.9),
+        "reward": jax.random.normal(k, (L, B)),
+        "done": jnp.zeros((L, B)),
+        "truncation": jnp.zeros((L, B)),
+        "final_obs": jax.random.normal(k, (L, B, learner.obs_size)),
+        "h0": jnp.zeros((B, cfg.hidden_size)),
+    }
+    g_q = jax.grad(learner._critic_loss)(ts.params.q, ts.params,
+                                         ts.normalizer, seq, k)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in jax.tree.leaves(g_q))
+    g_p = jax.grad(lambda p: learner._actor_loss(
+        p, ts.params, ts.normalizer, seq, k)[0])(ts.params.policy)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in jax.tree.leaves(g_p))
