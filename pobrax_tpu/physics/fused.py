@@ -905,7 +905,12 @@ def make_fused_step(sys) -> callable:
         info0 = Info(contact=P(vel=z3, ang=z3), joint=P(vel=z3, ang=z3),
                      actuator=P(vel=z3, ang=z3))
         carry0 = (pos0, rot0, vel0, ang0, info0)
-        (p_, r_, v_, a_, info), _ = jax.lax.scan(substep, carry0, None, length=substeps)
+        # fori_loop (not scan): with static bounds it lowers to the
+        # index-carrying scan form, the one loop shape Mosaic can lower —
+        # so the same step_core trace serves both the XLA fused path and
+        # the Pallas whole-step kernel. Numerically identical to the scan.
+        p_, r_, v_, a_, info = jax.lax.fori_loop(
+            0, substeps, lambda _i, c: substep(c, None)[0], carry0)
         return (p_, r_, v_, a_), info
 
     def step(qp: QP, act: jnp.ndarray) -> Tuple[QP, Info]:

@@ -49,21 +49,51 @@ def make_pallas_batched_step(sys, step_core, block: int = 1024,
     n = sys.num_bodies
     A = max(sys.action_size, 1)
 
-    def kernel(pos_ref, rot_ref, vel_ref, ang_ref, act_ref, *out_refs):
-        (p, r, v, a), info = step_core(
-            pos_ref[...], rot_ref[...], vel_ref[...], ang_ref[...],
-            act_ref[...])
-        outs = (p, r, v, a,
-                info.contact.vel, info.contact.ang,
-                info.joint.vel, info.joint.ang,
-                info.actuator.vel, info.actuator.ang)
-        for ref, val in zip(out_refs, outs):
-            ref[...] = val
-
     def batched(qp_b: QP, act_b: jnp.ndarray) -> Tuple[QP, Info]:
         B = act_b.shape[0]
         blk = _choose_block(B, block)
         dtype = qp_b.pos.dtype
+
+        # Mosaic (unlike interpret mode) forbids array constants captured
+        # by the kernel closure — and step_core bakes the vectorized
+        # contact phase's (K,)/(K,3) tables in as trace-time constants.
+        # Trace it to a jaxpr at the block shape and pass jaxpr.consts as
+        # explicit pallas_call operands, evaluating via eval_jaxpr inside
+        # the kernel. (jax.closure_convert does NOT do this: it hoists
+        # only differentiation-relevant captured tracers.)
+        example = (jax.ShapeDtypeStruct((n, 3, blk), dtype),
+                   jax.ShapeDtypeStruct((n, 4, blk), dtype),
+                   jax.ShapeDtypeStruct((n, 3, blk), dtype),
+                   jax.ShapeDtypeStruct((n, 3, blk), dtype),
+                   jax.ShapeDtypeStruct((A, blk), dtype))
+        closed, out_sd = jax.make_jaxpr(step_core, return_shape=True)(
+            *example)
+        out_tree = jax.tree.structure(out_sd)
+        consts = [jnp.asarray(c) for c in closed.consts]
+
+        def core_conv(*args_and_consts):
+            args, cvals = args_and_consts[:5], args_and_consts[5:]
+            out_flat = jax.core.eval_jaxpr(closed.jaxpr, cvals, *args)
+            return jax.tree.unflatten(out_tree, out_flat)
+
+        # TPU VMEM refs want >=1-d shapes; lift 0-d consts to (1,).
+        const_shapes = [c.shape for c in consts]
+        consts = [c.reshape(1) if c.ndim == 0 else c for c in consts]
+
+        def kernel(pos_ref, rot_ref, vel_ref, ang_ref, act_ref, *refs):
+            const_refs = refs[:len(consts)]
+            out_refs = refs[len(consts):]
+            cvals = [ref[...].reshape(shape) for ref, shape
+                     in zip(const_refs, const_shapes)]
+            (p, r, v, a), info = core_conv(
+                pos_ref[...], rot_ref[...], vel_ref[...], ang_ref[...],
+                act_ref[...], *cvals)
+            outs = (p, r, v, a,
+                    info.contact.vel, info.contact.ang,
+                    info.joint.vel, info.joint.ang,
+                    info.actuator.vel, info.actuator.ang)
+            for ref, val in zip(out_refs, outs):
+                ref[...] = val
 
         def t(x):  # (B, n, k) -> (n, k, B)
             return jnp.moveaxis(x, 0, -1)
@@ -75,8 +105,12 @@ def make_pallas_batched_step(sys, step_core, block: int = 1024,
         def spec(k):
             return pl.BlockSpec((n, k, blk), lambda i: (0, 0, i))
 
+        def const_spec(c):
+            return pl.BlockSpec(c.shape, lambda i, nd=c.ndim: (0,) * nd)
+
         in_specs = [spec(3), spec(4), spec(3), spec(3),
                     pl.BlockSpec((A, blk), lambda i: (0, i))]
+        in_specs += [const_spec(c) for c in consts]
         out_ks = (3, 4, 3, 3, 3, 3, 3, 3, 3, 3)
         out_specs = tuple(spec(k) for k in out_ks)
         out_shape = tuple(jax.ShapeDtypeStruct((n, k, B), dtype)
@@ -89,7 +123,8 @@ def make_pallas_batched_step(sys, step_core, block: int = 1024,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(t(qp_b.pos), t(qp_b.rot), t(qp_b.vel), t(qp_b.ang), act_t)
+        )(t(qp_b.pos), t(qp_b.rot), t(qp_b.vel), t(qp_b.ang), act_t,
+          *consts)
 
         def ut(x):  # (n, k, B) -> (B, n, k)
             return jnp.moveaxis(x, -1, 0)
