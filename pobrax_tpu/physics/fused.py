@@ -208,6 +208,49 @@ def _compile_cb_vec(rows, default_rot, inv_mass, inv_inertia):
     )
 
 
+def _atan2(y, x):
+    """Mosaic-safe atan2 from mul/div/sqrt/select only (Pallas TPU has no
+    atan/atan2 lowering rule). Cephes-style: fold |y/x| into [0,1] by
+    octant swap, one tan(pi/8) argument reduction, then the classic
+    degree-7 odd minimax polynomial (~2e-7 rel error — far below the
+    1e-5 fused-vs-generic cross-validation tolerance). One trace serves
+    both the XLA fused path and the Pallas whole-step kernel."""
+    pio2 = 1.5707963267948966
+    pio4 = 0.7853981633974483
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.minimum(ax, ay)
+    den = jnp.maximum(jnp.maximum(ax, ay), jnp.float32(1e-30))
+    t = num / den  # in [0, 1]
+    mid = t > 0.4142135623730950  # tan(pi/8)
+    arg = jnp.where(mid, (t - 1.0) / (t + 1.0), t)
+    base = jnp.where(mid, jnp.float32(pio4), jnp.float32(0.0))
+    z = arg * arg
+    poly = ((8.05374449538e-2 * z - 1.38776856032e-1) * z
+            + 1.99777106478e-1) * z - 3.33329491539e-1
+    r = base + arg + arg * z * poly
+    r = jnp.where(swap, pio2 - r, r)
+    r = jnp.where(x < 0.0, jnp.pi - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _asin(x):
+    """Mosaic-safe asin (Cephes asinf): |x|>0.5 uses the half-angle
+    sqrt((1-|x|)/2) reduction, so accuracy holds near the +-1 poles."""
+    a = jnp.abs(x)
+    big = a > 0.5
+    zb = 0.5 * (1.0 - a)
+    xb = jnp.sqrt(zb)
+    z = jnp.where(big, zb, a * a)
+    t = jnp.where(big, xb, a)
+    core = t + t * z * ((((4.2163199048e-2 * z + 2.4181311049e-2) * z
+                          + 4.5470025998e-2) * z + 7.4953002686e-2) * z
+                        + 1.6666752422e-1)
+    r = jnp.where(big, 1.5707963267948966 - 2.0 * core, core)
+    return jnp.where(x < 0.0, -r, r)
+
+
 def _euler_xyz(q):
     """Scalar intrinsic x-y'-z'' Euler decomposition of a quaternion tuple
     (matches joints.py::euler_xyz_from_quat)."""
@@ -217,9 +260,9 @@ def _euler_xyz(q):
     m22 = 1.0 - 2.0 * (x * x + y * y)
     m01 = 2.0 * (x * y - w * z)
     m00 = 1.0 - 2.0 * (y * y + z * z)
-    a = jnp.arctan2(-m12, m22)
-    b = jnp.arcsin(jnp.clip(m02, -1.0, 1.0))
-    c = jnp.arctan2(-m01, m00)
+    a = _atan2(-m12, m22)
+    b = _asin(jnp.clip(m02, -1.0, 1.0))
+    c = _atan2(-m01, m00)
     return (a, b, c)
 
 
@@ -647,6 +690,11 @@ def make_fused_step(sys) -> callable:
                 reps = cv["cap_repeats"]
                 K_rows = int(reps.sum())
 
+                # trace-time python ints: jnp.repeat with an ARRAY repeats
+                # arg lowers to roll+scatter (no Mosaic rule, and a worse
+                # XLA program than the static concat-of-broadcasts below)
+                reps_py = [int(r) for r in np.asarray(reps)]
+
                 def rep(ts):
                     """C per-capsule scalar 3-tuples -> 3 (K,) columns via
                     static repeat (concat of broadcasts; no gather/matmul).
@@ -656,8 +704,12 @@ def make_fused_step(sys) -> callable:
                     for c_ in range(3):
                         col = jnp.stack([jnp.asarray(t[c_], dt_) + zbc
                                          for t in ts], -1)  # (..., C)
-                        cols.append(jnp.repeat(col, reps, axis=-1,
-                                               total_repeat_length=K_rows))
+                        pieces = [
+                            jnp.broadcast_to(col[..., i:i + 1],
+                                             col.shape[:-1] + (r,))
+                            for i, r in enumerate(reps_py) if r]
+                        cols.append(jnp.concatenate(pieces, axis=-1)
+                                    if len(pieces) > 1 else pieces[0])
                     return cols
 
                 # world endpoints once per unique capsule (scalar, ~C ops)
@@ -817,7 +869,7 @@ def make_fused_step(sys) -> callable:
 
                 # per-dof angles (hinge fast path for dof 1)
                 if dof == 1:
-                    angles = (2.0 * jnp.arctan2(q_d[1], q_d[0]),)
+                    angles = (2.0 * _atan2(q_d[1], q_d[0]),)
                 else:
                     angles = _euler_xyz(q_d)[:dof]
                 t_limit = (0.0, 0.0, 0.0)

@@ -88,8 +88,12 @@ class System:
             # keep the plain fused path via custom_vmap dispatch.
             if os.environ.get("POBRAX_PALLAS") == "1":
                 from pobrax_tpu.physics import pallas_step
+                # POBRAX_PALLAS_BLOCK bounds the kernel's VMEM footprint:
+                # the unrolled substep chain allocates ~(intermediates x
+                # blk) on the scoped-VMEM stack (16MB default limit).
                 self._fused_step = pallas_step.wrap_custom_vmap(
-                    self, self._fused_step)
+                    self, self._fused_step,
+                    block=int(os.environ.get("POBRAX_PALLAS_BLOCK", "1024")))
         else:
             self._fused_step = None
 
