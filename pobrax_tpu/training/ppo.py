@@ -178,6 +178,14 @@ class PPOConfig:
     # outputs cast back to f32 before GAE/loss math) — the MXU executes
     # bf16 matmuls at twice the f32 rate. Opt-in: None = full f32.
     network_dtype: Optional[str] = None
+    # Epochs executed inside ONE jitted call (lax.scan over the epoch fn).
+    # Each host->device dispatch costs a fixed ~25-30ms on the TPU relay —
+    # ~40% of a 16-unroll epoch at 4096 envs (docs/PERFORMANCE.md); scanning
+    # N epochs per call amortizes it N-fold. Identical math and PRNG stream
+    # to N host-loop epochs (the scan body splits the carried key exactly
+    # like train()'s host loop did); only the host-visible granularity of
+    # metrics/checkpoints/watchdog beats coarsens to every N epochs.
+    epochs_per_call: int = 1
 
 
 class PPOLearner:
@@ -272,32 +280,41 @@ class PPOLearner:
     # ---- rollout + loss --------------------------------------------------------
 
     def _rollout(self, ts: TrainingState, env_state: State, key: jnp.ndarray):
+        """The serial scan carries ONLY what the trajectory depends on:
+        normalize -> policy forward -> sample -> env.step. The value head
+        (the big [256x5] net) and log_prob do not influence the trajectory,
+        so they run POST-HOC over the whole (T, B) rollout in one batched
+        MXU call instead of T serial small calls inside the scan — measured
+        as the dominant rollout overhead on TPU (docs/PERFORMANCE.md).
+        log_prob is computed from the SAME dist_params used for sampling
+        (carried out of the scan), so it matches the in-loop computation;
+        the post-hoc normalize is bit-identical because ts.normalizer is
+        fixed for the whole rollout (stats update after, in the epoch)."""
         def step(carry, _):
             env_state, key = carry
             key, k_sample = jax.random.split(key)
-            # normalize ONCE per step; both heads consume the same tensor
             norm_obs = (running_statistics.normalize(
                 ts.normalizer, env_state.obs)
                 if self.cfg.normalize_observations else env_state.obs)
             dist_params = self._policy_params_fn(ts.params, None, norm_obs)
             pre_tanh = self.dist.sample_no_postprocess(dist_params, k_sample)
-            log_prob = self.dist.log_prob(dist_params, pre_tanh)
             action = self.dist.postprocess(pre_tanh)
-            value = self._value_fn(ts.params, None, norm_obs)
             nstate = self.env.step(env_state, action)
-            t = Transition(
-                obs=env_state.obs,
-                action=pre_tanh,
-                log_prob=log_prob,
-                reward=nstate.reward * self.cfg.reward_scaling,
-                done=nstate.done,
-                truncation=nstate.info.get("truncation", jnp.zeros_like(nstate.done)),
-                value=value,
-            )
-            return (nstate, key), t
+            ys = (env_state.obs, pre_tanh, dist_params,
+                  nstate.reward * self.cfg.reward_scaling, nstate.done,
+                  nstate.info.get("truncation", jnp.zeros_like(nstate.done)))
+            return (nstate, key), ys
 
-        (env_state, _), data = jax.lax.scan(
-            step, (env_state, key), None, length=self.cfg.unroll_length)
+        (env_state, _), (obs, pre_tanh, dist_params, reward, done, trunc) = \
+            jax.lax.scan(step, (env_state, key), None,
+                         length=self.cfg.unroll_length)
+        log_prob = self.dist.log_prob(dist_params, pre_tanh)  # (T, B)
+        norm_all = (running_statistics.normalize(ts.normalizer, obs)
+                    if self.cfg.normalize_observations else obs)
+        value = self._value_fn(ts.params, None, norm_all)  # one (T*B) call
+        data = Transition(obs=obs, action=pre_tanh, log_prob=log_prob,
+                          reward=reward, done=done, truncation=trunc,
+                          value=value)
         bootstrap_value = self._value_fn(ts.params, ts.normalizer, env_state.obs)
         return env_state, data, bootstrap_value
 
@@ -419,6 +436,38 @@ class PPOLearner:
             donate_argnums=(0, 1),
         )
 
+    def jit_epochs(self, n: Optional[int] = None):
+        """`(ts, env_state, key) -> (ts, env_state, key', mean_metrics)`
+        running `n` epochs (default cfg.epochs_per_call) inside ONE jitted
+        lax.scan — amortizes the fixed per-dispatch cost (see
+        cfg.epochs_per_call). The scan body splits the carried key the same
+        way train()'s host loop does, so the epoch key stream is identical
+        to n sequential jit_epoch calls; `key'` continues the stream."""
+        n = self.cfg.epochs_per_call if n is None else n
+
+        def epochs(ts: TrainingState, env_state: State, key: jnp.ndarray):
+            def body(carry, _):
+                ts, env_state, key = carry
+                key, k_epoch = jax.random.split(key)
+                ts, env_state, metrics = self._epoch_fn(ts, env_state, k_epoch)
+                return (ts, env_state, key), metrics
+            (ts, env_state, key), metrics = jax.lax.scan(
+                body, (ts, env_state, key), None, length=n)
+            return ts, env_state, key, jax.tree.map(
+                lambda x: jnp.mean(x, axis=0), metrics)
+
+        if self.mesh is None:
+            return jax.jit(epochs, donate_argnums=(0, 1))
+        P = jax.sharding.PartitionSpec
+        data_sharding = jax.sharding.NamedSharding(self.mesh, P("data"))
+        replicated = jax.sharding.NamedSharding(self.mesh, P())
+        return jax.jit(
+            epochs,
+            in_shardings=(replicated, data_sharding, replicated),
+            out_shardings=(replicated, data_sharding, replicated, replicated),
+            donate_argnums=(0, 1),
+        )
+
 
 def evaluate(
     env: Env,
@@ -531,12 +580,15 @@ def train(
             env_state, jax.sharding.NamedSharding(mesh, P("data")))
         ts = jax.device_put(ts, jax.sharding.NamedSharding(mesh, P()))
 
-    epoch_fn = learner.jit_epoch()
+    epc = max(1, cfg.epochs_per_call)
+    epoch_fn = learner.jit_epochs(epc) if epc > 1 else learner.jit_epoch()
     steps_per_epoch = cfg.unroll_length * cfg.num_envs * cfg.action_repeat
-    # ceil of the remaining budget: at least one epoch whenever any steps
+    steps_per_call = steps_per_epoch * epc
+    # ceil of the remaining budget: at least one call whenever any steps
     # remain, zero only when the checkpoint already covers num_timesteps
+    # (epochs_per_call>1 may overshoot num_timesteps by < one call)
     remaining = max(0, cfg.num_timesteps - resumed_steps)
-    num_epochs = -(-remaining // steps_per_epoch)
+    num_calls = -(-remaining // steps_per_call)
     history = []
     t0 = time.perf_counter()
     last_ckpt = resumed_steps
@@ -547,22 +599,27 @@ def train(
     if jax.process_count() > 1:
         health.ping()  # startup liveness barrier: all peers present
     try:
-        for i in range(num_epochs):
-            key, k_epoch = jax.random.split(key)
-            ts, env_state, metrics = epoch_fn(ts, env_state, k_epoch)
+        for i in range(num_calls):
+            if epc > 1:
+                # key threaded through the call: same epoch-key stream as
+                # epc sequential host-loop iterations (see jit_epochs)
+                ts, env_state, key, metrics = epoch_fn(ts, env_state, key)
+            else:
+                key, k_epoch = jax.random.split(key)
+                ts, env_state, metrics = epoch_fn(ts, env_state, k_epoch)
             if wd is not None:
                 jax.block_until_ready(metrics)
                 wd.beat()  # raises if the monitor latched a stall
-            total_steps = resumed_steps + (i + 1) * steps_per_epoch
+            total_steps = resumed_steps + (i + 1) * steps_per_call
             if progress_fn is not None:
                 metrics = jax.tree.map(float, jax.device_get(metrics))
                 metrics["steps_per_second"] = (
-                    (i + 1) * steps_per_epoch / (time.perf_counter() - t0))
+                    (i + 1) * steps_per_call / (time.perf_counter() - t0))
                 history.append(metrics)
                 progress_fn(total_steps, metrics)
             if checkpoint_dir is not None and (
                     total_steps - last_ckpt >= checkpoint_every
-                    or i == num_epochs - 1):
+                    or i == num_calls - 1):
                 if jax.process_count() > 1:
                     health.ping()  # peers alive before the save barrier
                 from pobrax_tpu.training import checkpoint as ckpt

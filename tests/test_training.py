@@ -273,3 +273,64 @@ def test_prenormalized_loss_matches_inline_normalize():
     l_new, _ = learner._loss(ts.params, None, pre, adv, ret, key)
     l_old, _ = learner._loss(ts.params, norm, data, adv, ret, key)
     np.testing.assert_allclose(float(l_new), float(l_old), rtol=1e-6)
+
+
+def test_epochs_per_call_matches_host_loop():
+    """jit_epochs(n) (one jitted lax.scan over n epochs) must produce the
+    SAME final params and key stream as n sequential jit_epoch host-loop
+    iterations — it only amortizes the per-dispatch cost."""
+    from pobrax_tpu.envs.fast import Fast
+    from pobrax_tpu.envs import wrappers
+
+    env = wrappers.VmapWrapper(
+        wrappers.EpisodeWrapper(Fast(), 8, 1), batch_size=8)
+    cfg = ppo.PPOConfig(num_envs=8, unroll_length=4, num_minibatches=2,
+                        num_update_epochs=1, episode_length=8)
+    learner = ppo.PPOLearner(env, cfg)
+    key0 = jax.random.PRNGKey(3)
+    ts0 = learner.init(key0)
+    st0 = jax.jit(env.reset)(jax.random.split(key0, 8))
+
+    # both paths consume donated buffers — give each its own copy
+    clone = lambda t: jax.tree.map(jnp.array, t)
+
+    # host loop, exactly train()'s key threading
+    epoch_fn = learner.jit_epoch()
+    ts_a, st_a, key = clone(ts0), clone(st0), key0
+    for _ in range(3):
+        key, k_epoch = jax.random.split(key)
+        ts_a, st_a, _ = epoch_fn(ts_a, st_a, k_epoch)
+
+    ts_b, st_b, key_b, _ = learner.jit_epochs(3)(ts0, st0, key0)
+
+    np.testing.assert_array_equal(np.asarray(key), np.asarray(key_b))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        ts_a.params, ts_b.params)
+    np.testing.assert_array_equal(int(ts_a.epochs), int(ts_b.epochs))
+
+
+def test_posthoc_rollout_heads_match_inline():
+    """_rollout computes value/log_prob POST-HOC in one (T*B) batch; they
+    must match the inline per-step computation on the stored rollout."""
+    from pobrax_tpu.envs.ant import Ant
+    from pobrax_tpu.envs import wrappers
+
+    env = wrappers.VmapWrapper(
+        wrappers.EpisodeWrapper(Ant(), 8, 1), batch_size=4)
+    cfg = ppo.PPOConfig(num_envs=4, unroll_length=4, num_minibatches=1,
+                        num_update_epochs=1, episode_length=8)
+    learner = ppo.PPOLearner(env, cfg)
+    key = jax.random.PRNGKey(0)
+    ts = learner.init(key)
+    st = jax.jit(env.reset)(jax.random.split(key, 4))
+    _, data, _ = learner._rollout(ts, st, key)
+
+    value_inline = learner._value_fn(ts.params, ts.normalizer, data.obs)
+    dp_inline = learner._policy_params_fn(ts.params, ts.normalizer, data.obs)
+    lp_inline = learner.dist.log_prob(dp_inline, data.action)
+    np.testing.assert_allclose(np.asarray(data.value),
+                               np.asarray(value_inline), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(data.log_prob),
+                               np.asarray(lp_inline), atol=1e-5)

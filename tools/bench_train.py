@@ -8,7 +8,8 @@ epochs, cached autoreset, bf16 nets). Prints one JSON line.
 Usage: python tools/bench_train.py [env_name]
 Env overrides: TRAIN_BATCH, TRAIN_UNROLL, TRAIN_MB, TRAIN_EPOCHS,
 TRAIN_AUTORESET (cached|naive), TRAIN_DTYPE (bfloat16|float32),
-TRAIN_REPEATS.
+TRAIN_REPEATS, TRAIN_EPC (epochs scanned inside one jitted call —
+amortizes the fixed ~25-30ms per-dispatch cost of the TPU relay).
 """
 
 from __future__ import annotations
@@ -27,14 +28,15 @@ def bench_train(env_name: str = "ant_tag", batch: int = 4096,
                 unroll: int = 16, minibatches: int = 32,
                 update_epochs: int = 4, autoreset: str = "cached",
                 dtype: str = "bfloat16", repeats: int = 3,
-                flatten: bool = True) -> dict:
+                flatten: bool = True, epochs_per_call: int = 1) -> dict:
     from pobrax_tpu.envs import _envs, wrappers
     from pobrax_tpu.training import ppo
 
     cfg = ppo.PPOConfig(
         num_envs=batch, episode_length=1000, unroll_length=unroll,
         num_minibatches=minibatches, num_update_epochs=update_epochs,
-        network_dtype=dtype, flatten_optimizer=flatten)
+        network_dtype=dtype, flatten_optimizer=flatten,
+        epochs_per_call=epochs_per_call)
     env = _envs[env_name]()
     wrapped = wrappers.ActionRepeatWrapper(env, cfg.action_repeat)
     wrapped = wrappers.EpisodeWrapper(wrapped, cfg.episode_length, 1)
@@ -46,30 +48,37 @@ def bench_train(env_name: str = "ant_tag", batch: int = 4096,
     key, k_init, k_reset = jax.random.split(key, 3)
     ts = learner.init(k_init)
     env_state = jax.jit(wrapped.reset)(jax.random.split(k_reset, batch))
-    epoch_fn = learner.jit_epoch()
-    steps_per_epoch = unroll * batch * cfg.action_repeat
+    epc = max(1, epochs_per_call)
+    epoch_fn = learner.jit_epochs(epc) if epc > 1 else learner.jit_epoch()
+    steps_per_call = unroll * batch * cfg.action_repeat * epc
+
+    def run_call(key):
+        if epc > 1:
+            ts2, env2, key, metrics = epoch_fn(run_call.ts, run_call.env, key)
+        else:
+            key, k = jax.random.split(key)
+            ts2, env2, metrics = epoch_fn(run_call.ts, run_call.env, k)
+        run_call.ts, run_call.env = ts2, env2
+        jax.block_until_ready(metrics["total_loss"])
+        return key
+    run_call.ts, run_call.env = ts, env_state
 
     # compile + warmup
     t0 = time.perf_counter()
-    key, k = jax.random.split(key)
-    ts, env_state, metrics = epoch_fn(ts, env_state, k)
-    jax.block_until_ready(metrics["total_loss"])
+    key = run_call(key)
     compile_s = time.perf_counter() - t0
 
     best = 0.0
     for _ in range(repeats):
         t0 = time.perf_counter()
-        key, k = jax.random.split(key)
-        ts, env_state, metrics = epoch_fn(ts, env_state, k)
-        jax.block_until_ready(metrics["total_loss"])
-        dt = time.perf_counter() - t0
-        best = max(best, steps_per_epoch / dt)
+        key = run_call(key)
+        best = max(best, steps_per_call / (time.perf_counter() - t0))
     return {"metric": f"{env_name} TRAIN env-steps/s/chip @ {batch} envs",
             "value": round(best, 1), "unit": "env_steps/s/chip",
             "autoreset": autoreset, "network_dtype": dtype,
             "unroll": unroll, "minibatches": minibatches,
             "update_epochs": update_epochs, "flatten_optimizer": flatten,
-            "compile_s": round(compile_s, 1)}
+            "epochs_per_call": epc, "compile_s": round(compile_s, 1)}
 
 
 def bench_train_rnn(env_name: str = "ant_tag", batch: int = 2048,
@@ -140,5 +149,6 @@ if __name__ == "__main__":
         dtype=os.environ.get("TRAIN_DTYPE", "bfloat16"),
         repeats=int(os.environ.get("TRAIN_REPEATS", "3")),
         flatten=os.environ.get("TRAIN_FLATTEN", "1") == "1",
+        epochs_per_call=int(os.environ.get("TRAIN_EPC", "1")),
     )
     print(json.dumps(out))
