@@ -101,6 +101,10 @@ class RNNPPOConfig:
     flatten_optimizer: bool = True  # single-vector update (see ppo.py)
     encoder_sizes: Tuple[int, ...] = (256,)
     hidden_size: int = 128
+    # epochs scanned inside one jitted call — amortizes the fixed
+    # ~25-30ms per-dispatch cost; identical math/PRNG stream to the host
+    # loop (see ppo.PPOConfig.epochs_per_call)
+    epochs_per_call: int = 1
 
 
 class RNNPPOLearner:
@@ -310,6 +314,37 @@ class RNNPPOLearner:
             donate_argnums=(0, 1, 2),
         )
 
+    def jit_epochs(self, n: Optional[int] = None):
+        """`(ts, env_state, h, key) -> (ts, env_state, h, key', metrics)`:
+        n epochs in ONE jitted lax.scan, key threaded like train()'s host
+        loop (same epoch-key stream); amortizes per-dispatch latency."""
+        n = self.cfg.epochs_per_call if n is None else n
+
+        def epochs(ts, env_state, h, key):
+            def body(carry, _):
+                ts, env_state, h, key = carry
+                key, k_epoch = jax.random.split(key)
+                ts, env_state, h, metrics = self._epoch_fn(
+                    ts, env_state, h, k_epoch)
+                return (ts, env_state, h, key), metrics
+            (ts, env_state, h, key), metrics = jax.lax.scan(
+                body, (ts, env_state, h, key), None, length=n)
+            return ts, env_state, h, key, jax.tree.map(
+                lambda x: jnp.mean(x, axis=0), metrics)
+
+        if self.mesh is None:
+            return jax.jit(epochs, donate_argnums=(0, 1, 2))
+        P = jax.sharding.PartitionSpec
+        data_sharding = jax.sharding.NamedSharding(self.mesh, P("data"))
+        replicated = jax.sharding.NamedSharding(self.mesh, P())
+        return jax.jit(
+            epochs,
+            in_shardings=(replicated, data_sharding, data_sharding, replicated),
+            out_shardings=(replicated, data_sharding, data_sharding,
+                           replicated, replicated),
+            donate_argnums=(0, 1, 2),
+        )
+
 
 def train(
     env: Env,
@@ -362,10 +397,12 @@ def train(
         h = jax.device_put(h, data_sh)
         ts = jax.device_put(ts, jax.sharding.NamedSharding(mesh, P()))
 
-    epoch_fn = learner.jit_epoch()
+    epc = max(1, cfg.epochs_per_call)
+    epoch_fn = learner.jit_epochs(epc) if epc > 1 else learner.jit_epoch()
     steps_per_epoch = cfg.unroll_length * cfg.num_envs * cfg.action_repeat
+    steps_per_call = steps_per_epoch * epc
     remaining = max(0, cfg.num_timesteps - resumed_steps)
-    num_epochs = max(0 if resumed_steps else 1, -(-remaining // steps_per_epoch))
+    num_calls = max(0 if resumed_steps else 1, -(-remaining // steps_per_call))
     history = []
     t0 = time.perf_counter()
     last_ckpt = resumed_steps
@@ -376,22 +413,26 @@ def train(
     if jax.process_count() > 1:
         health.ping()  # startup liveness barrier (see ppo.train)
     try:
-        for i in range(num_epochs):
-            key, k_epoch = jax.random.split(key)
-            ts, env_state, h, metrics = epoch_fn(ts, env_state, h, k_epoch)
+        for i in range(num_calls):
+            if epc > 1:
+                ts, env_state, h, key, metrics = epoch_fn(
+                    ts, env_state, h, key)
+            else:
+                key, k_epoch = jax.random.split(key)
+                ts, env_state, h, metrics = epoch_fn(ts, env_state, h, k_epoch)
             if wd is not None:
                 jax.block_until_ready(metrics)
                 wd.beat()
-            total_steps = resumed_steps + (i + 1) * steps_per_epoch
+            total_steps = resumed_steps + (i + 1) * steps_per_call
             if progress_fn is not None:
                 metrics = jax.tree.map(float, jax.device_get(metrics))
                 metrics["steps_per_second"] = (
-                    (i + 1) * steps_per_epoch / (time.perf_counter() - t0))
+                    (i + 1) * steps_per_call / (time.perf_counter() - t0))
                 history.append(metrics)
                 progress_fn(total_steps, metrics)
             if checkpoint_dir is not None and (
                     total_steps - last_ckpt >= checkpoint_every
-                    or i == num_epochs - 1):
+                    or i == num_calls - 1):
                 if jax.process_count() > 1:
                     health.ping()
                 from pobrax_tpu.training import checkpoint as ckpt

@@ -334,3 +334,39 @@ def test_posthoc_rollout_heads_match_inline():
                                np.asarray(value_inline), atol=1e-5)
     np.testing.assert_allclose(np.asarray(data.log_prob),
                                np.asarray(lp_inline), atol=1e-5)
+
+
+def test_rnn_epochs_per_call_matches_host_loop():
+    """ppo_rnn.jit_epochs(n) must reproduce n sequential jit_epoch calls
+    (same key stream, same params) — dispatch amortization only."""
+    from pobrax_tpu.envs.fast import Fast
+    from pobrax_tpu.envs import wrappers
+    from pobrax_tpu.training import ppo_rnn
+
+    env = wrappers.VmapWrapper(
+        wrappers.EpisodeWrapper(Fast(), 8, 1), batch_size=8)
+    cfg = ppo_rnn.RNNPPOConfig(num_envs=8, unroll_length=4,
+                               num_minibatches=2, num_update_epochs=1,
+                               episode_length=8, hidden_size=8,
+                               encoder_sizes=(16,))
+    learner = ppo_rnn.RNNPPOLearner(env, cfg)
+    key0 = jax.random.PRNGKey(7)
+    ts0 = learner.init(key0)
+    st0 = jax.jit(env.reset)(jax.random.split(key0, 8))
+    h0 = learner.h0(8)
+    clone = lambda t: jax.tree.map(jnp.array, t)
+
+    epoch_fn = learner.jit_epoch()
+    ts_a, st_a, h_a, key = clone(ts0), clone(st0), clone(h0), key0
+    for _ in range(3):
+        key, k_epoch = jax.random.split(key)
+        ts_a, st_a, h_a, _ = epoch_fn(ts_a, st_a, h_a, k_epoch)
+
+    ts_b, st_b, h_b, key_b, _ = learner.jit_epochs(3)(ts0, st0, h0, key0)
+
+    np.testing.assert_array_equal(np.asarray(key), np.asarray(key_b))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        ts_a.params, ts_b.params)
+    np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_b), atol=1e-6)

@@ -84,14 +84,15 @@ def bench_train(env_name: str = "ant_tag", batch: int = 4096,
 def bench_train_rnn(env_name: str = "ant_tag", batch: int = 2048,
                     unroll: int = 32, minibatches: int = 8,
                     update_epochs: int = 4, autoreset: str = "cached",
-                    repeats: int = 3) -> dict:
+                    repeats: int = 3, epochs_per_call: int = 1) -> dict:
     """Steady-state GRU-PPO epoch throughput (TRAIN_PROGRAM=rnn)."""
     from pobrax_tpu.envs import _envs, wrappers
     from pobrax_tpu.training import ppo_rnn
 
     cfg = ppo_rnn.RNNPPOConfig(
         num_envs=batch, episode_length=1000, unroll_length=unroll,
-        num_minibatches=minibatches, num_update_epochs=update_epochs)
+        num_minibatches=minibatches, num_update_epochs=update_epochs,
+        epochs_per_call=epochs_per_call)
     env = _envs[env_name]()
     wrapped = wrappers.ActionRepeatWrapper(env, cfg.action_repeat)
     wrapped = wrappers.EpisodeWrapper(wrapped, cfg.episode_length, 1)
@@ -104,27 +105,37 @@ def bench_train_rnn(env_name: str = "ant_tag", batch: int = 2048,
     ts = learner.init(k_init)
     env_state = jax.jit(wrapped.reset)(jax.random.split(k_reset, batch))
     h = learner.h0(batch)
-    epoch_fn = learner.jit_epoch()
-    steps_per_epoch = unroll * batch * cfg.action_repeat
+    epc = max(1, epochs_per_call)
+    epoch_fn = learner.jit_epochs(epc) if epc > 1 else learner.jit_epoch()
+    steps_per_call = unroll * batch * cfg.action_repeat * epc
+
+    state = {"ts": ts, "env": env_state, "h": h}
+
+    def run_call(key):
+        if epc > 1:
+            state["ts"], state["env"], state["h"], key, metrics = epoch_fn(
+                state["ts"], state["env"], state["h"], key)
+        else:
+            key, k = jax.random.split(key)
+            state["ts"], state["env"], state["h"], metrics = epoch_fn(
+                state["ts"], state["env"], state["h"], k)
+        jax.block_until_ready(metrics["total_loss"])
+        return key
 
     t0 = time.perf_counter()
-    key, k = jax.random.split(key)
-    ts, env_state, h, metrics = epoch_fn(ts, env_state, h, k)
-    jax.block_until_ready(metrics["total_loss"])
+    key = run_call(key)
     compile_s = time.perf_counter() - t0
 
     best = 0.0
     for _ in range(repeats):
         t0 = time.perf_counter()
-        key, k = jax.random.split(key)
-        ts, env_state, h, metrics = epoch_fn(ts, env_state, h, k)
-        jax.block_until_ready(metrics["total_loss"])
-        best = max(best, steps_per_epoch / (time.perf_counter() - t0))
+        key = run_call(key)
+        best = max(best, steps_per_call / (time.perf_counter() - t0))
     return {"metric": f"{env_name} RNN TRAIN env-steps/s/chip @ {batch} envs",
             "value": round(best, 1), "unit": "env_steps/s/chip",
             "autoreset": autoreset, "unroll": unroll,
             "minibatches": minibatches, "update_epochs": update_epochs,
-            "compile_s": round(compile_s, 1)}
+            "epochs_per_call": epc, "compile_s": round(compile_s, 1)}
 
 
 if __name__ == "__main__":
@@ -137,6 +148,7 @@ if __name__ == "__main__":
             update_epochs=int(os.environ.get("TRAIN_EPOCHS", "4")),
             autoreset=os.environ.get("TRAIN_AUTORESET", "cached"),
             repeats=int(os.environ.get("TRAIN_REPEATS", "3")),
+            epochs_per_call=int(os.environ.get("TRAIN_EPC", "1")),
         )))
         raise SystemExit(0)
     out = bench_train(
