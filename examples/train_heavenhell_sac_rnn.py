@@ -1,0 +1,101 @@
+"""Recurrent SAC on AntHeavenHell — off-policy memory on the ant PO suite.
+
+The GRU-PPO study (examples/train_heavenhell_rnn.py, docs/LEARNING.md)
+solved this task with 400M inflated env-steps; the masked-pendulum study
+showed GRU-SAC needs ~33x less data than on-policy GRU. This experiment
+asks whether that sample-efficiency transfers to the embodied task: same
+privileged progress shaping toward heaven (training-time only — the
+policy cannot SEE which side is heaven without visiting the priest), same
+true-env evaluation (completion rate, heaven rate among completions).
+
+Usage: python examples/train_heavenhell_sac_rnn.py [num_timesteps] [num_envs]
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from pobrax_tpu.envs import HAI_ACTION_REPEAT, _envs  # noqa: E402
+from pobrax_tpu.training import sac_rnn  # noqa: E402
+from examples.train_heavenhell_rnn import (  # noqa: E402
+    ShapedHeavenHell, outcome_rates)
+
+
+def main(num_timesteps=20_000_000, num_envs=128):
+    env = _envs["ant_heavenhell"]()
+    rand_c, rand_h = outcome_rates(
+        _envs["ant_heavenhell"](),
+        lambda c, obs, k: (c, jax.random.uniform(
+            k, obs.shape[:-1] + (env.action_size,), minval=-1.0, maxval=1.0)),
+        carry_init=lambda n: jnp.zeros(n),
+        action_repeat=HAI_ACTION_REPEAT)
+    print(f"random: completion {rand_c:.3f}, heaven|completed {rand_h:.3f}",
+          flush=True)
+
+    history = []
+
+    def progress(steps, metrics):
+        history.append({"steps": steps,
+                        "mean_reward": metrics.get("mean_reward"),
+                        "q_loss": metrics.get("q_loss")})
+        if len(history) % 50 == 0:
+            m = history[-1]
+            print(f"  {steps:>12,} steps  mean_reward="
+                  f"{m['mean_reward']:+.4f}", flush=True)
+
+    hidden = 128
+    inference_fn, params, _ = sac_rnn.train(
+        ShapedHeavenHell(_envs["ant_heavenhell"](), coef=5.0),
+        num_timesteps=num_timesteps,
+        num_envs=num_envs,
+        episode_length=1000,
+        action_repeat=HAI_ACTION_REPEAT,
+        seq_len=32,
+        burn_in=8,
+        replay_capacity=512,
+        batch_size=64,
+        seqs_per_epoch=4,
+        grad_steps_per_seq=1,
+        min_replay=32,
+        learning_rate=3e-4,
+        discounting=0.97,
+        reward_scaling=1.0,
+        hidden_size=hidden,
+        encoder_sizes=(256,),
+        head_sizes=(256,),
+        autoreset_mode="cached",
+        seed=0,
+        progress_fn=progress,
+    )
+
+    det_c, det_h = outcome_rates(
+        _envs["ant_heavenhell"](),
+        lambda h, obs, k: inference_fn(params, h, obs, k, deterministic=True),
+        carry_init=lambda n: jnp.zeros((n, hidden)),
+        action_repeat=HAI_ACTION_REPEAT)
+    sto_c, sto_h = outcome_rates(
+        _envs["ant_heavenhell"](),
+        lambda h, obs, k: inference_fn(params, h, obs, k),
+        carry_init=lambda n: jnp.zeros((n, hidden)),
+        action_repeat=HAI_ACTION_REPEAT, seed=1)
+    print(f"GRU-SAC det:   completion {det_c:.3f}, heaven|completed "
+          f"{det_h:.3f}", flush=True)
+    print(f"GRU-SAC stoch: completion {sto_c:.3f}, heaven|completed "
+          f"{sto_h:.3f}", flush=True)
+
+    with open("docs/learning_heavenhell_sac_rnn.json", "w") as f:
+        json.dump({"num_timesteps": num_timesteps, "num_envs": num_envs,
+                   "random": {"completion": rand_c, "heaven": rand_h},
+                   "gru_sac_det": {"completion": det_c, "heaven": det_h},
+                   "gru_sac_stoch": {"completion": sto_c, "heaven": sto_h},
+                   "curve": history}, f, indent=1)
+    print("wrote docs/learning_heavenhell_sac_rnn.json", flush=True)
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:3]]
+    main(*args)

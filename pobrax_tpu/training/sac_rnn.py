@@ -109,6 +109,7 @@ class RSACConfig:
     num_timesteps: int = 1_000_000
     num_envs: int = 64
     episode_length: int = 1000
+    action_repeat: int = 1  # HAI envs train at 6 (envs.HAI_ACTION_REPEAT)
     seq_len: int = 16  # stored sequence length (burn_in + trained steps)
     burn_in: int = 4
     replay_capacity: int = 512  # sequence slots
@@ -459,7 +460,8 @@ def train(
     from pobrax_tpu.parallel import health
 
     cfg = dataclasses.replace(cfg or RSACConfig(), **cfg_overrides)
-    wrapped = wrappers.EpisodeWrapper(env, cfg.episode_length, 1)
+    wrapped = wrappers.ActionRepeatWrapper(env, cfg.action_repeat)
+    wrapped = wrappers.EpisodeWrapper(wrapped, cfg.episode_length, 1)
     wrapped = wrappers.VmapWrapper(wrapped, batch_size=cfg.num_envs)
     wrapped = wrappers.randomized_autoreset(wrapped, autoreset_mode)
 
@@ -471,7 +473,8 @@ def train(
     h = learner.h0(cfg.num_envs)
     epoch_fn = jax.jit(learner.build_epoch_fn(), donate_argnums=(0,))
 
-    steps_per_epoch = cfg.seqs_per_epoch * cfg.seq_len * cfg.num_envs
+    steps_per_epoch = (cfg.seqs_per_epoch * cfg.seq_len * cfg.num_envs
+                       * cfg.action_repeat)
     num_epochs = max(1, cfg.num_timesteps // steps_per_epoch)
     history = []
     t0 = time.perf_counter()
