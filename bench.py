@@ -170,11 +170,13 @@ def main() -> None:
         import sys
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from tools.bench_train import bench_train
-        t = bench_train(env_name, batch=batch, autoreset=headline_mode)
+        t = bench_train(env_name, batch=batch, autoreset=headline_mode,
+                        epochs_per_call=int(os.environ.get("TRAIN_EPC", "8")))
         record["train"] = {"value": t["value"], "unit": t["unit"],
                            "config": {k: t[k] for k in
                                       ("network_dtype", "unroll",
-                                       "minibatches", "update_epochs")}}
+                                       "minibatches", "update_epochs",
+                                       "epochs_per_call")}}
     print(json.dumps(record))
 
 

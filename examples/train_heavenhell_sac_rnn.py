@@ -25,7 +25,7 @@ from examples.train_heavenhell_rnn import (  # noqa: E402
     ShapedHeavenHell, outcome_rates)
 
 
-def main(num_timesteps=20_000_000, num_envs=128):
+def main(num_timesteps=80_000_000, num_envs=512):
     env = _envs["ant_heavenhell"]()
     rand_c, rand_h = outcome_rates(
         _envs["ant_heavenhell"](),
@@ -56,14 +56,19 @@ def main(num_timesteps=20_000_000, num_envs=128):
         action_repeat=HAI_ACTION_REPEAT,
         seq_len=32,
         burn_in=8,
-        replay_capacity=512,
-        batch_size=64,
+        replay_capacity=192,
+        batch_size=128,
         seqs_per_epoch=4,
-        grad_steps_per_seq=1,
-        min_replay=32,
+        grad_steps_per_seq=2,
+        min_replay=24,
         learning_rate=3e-4,
         discounting=0.97,
-        reward_scaling=1.0,
+        # SAC's learned temperature balances reward against the -8 target
+        # entropy; the shaped per-step rewards are ~1e-2, so unscaled they
+        # drown in the entropy term and the policy stays near-random
+        # (measured: 30M steps at scaling 1.0 -> completion 5.9%, below
+        # the 7.4% random baseline)
+        reward_scaling=10.0,
         hidden_size=hidden,
         encoder_sizes=(256,),
         head_sizes=(256,),
