@@ -342,6 +342,9 @@ def _compile_pp_vec(rows, default_rot, inv_mass, inv_inertia):
 
 def make_fused_step(sys) -> callable:
     """Build a scalar-unrolled `step(qp, act) -> (qp, Info)` for `sys`."""
+    # read once at BUILD time (not trace time) so a System's behavior is
+    # fixed when it is constructed
+    info_contact_only = os.environ.get("POBRAX_INFO", "full") == "contact"
     n = sys.num_bodies
     body = sys.body
     groups = sys.joints
@@ -943,13 +946,25 @@ def make_fused_step(sys) -> callable:
 
             # info accumulators (contact / joint / actuator), matching the
             # generic path: contact is the impulse delta-v, joint/actuator are
-            # the per-substep accelerations
-            dinfo = Info(
-                contact=P(vel=pack(dvel_c), ang=pack(dang_c)),
-                joint=P(vel=pack(fvel), ang=pack(fang)),
-                actuator=P(vel=pack(avel), ang=pack(aang)),
-            )
-            info_acc = jax.tree.map(lambda a, b: a + b, info_acc, dinfo)
+            # the per-substep accelerations. POBRAX_INFO=contact skips the
+            # joint/actuator sums (zeros returned): no env consumes them
+            # (observations read only contact.vel/.ang, matching the
+            # reference ant_tag.py:174-177) — A/B'd in docs/PERFORMANCE.md
+            if info_contact_only:
+                dinfo = Info(
+                    contact=P(vel=pack(dvel_c), ang=pack(dang_c)),
+                    joint=info_acc.joint, actuator=info_acc.actuator)
+                info_acc = Info(
+                    contact=jax.tree.map(lambda a, b: a + b,
+                                         info_acc.contact, dinfo.contact),
+                    joint=info_acc.joint, actuator=info_acc.actuator)
+            else:
+                dinfo = Info(
+                    contact=P(vel=pack(dvel_c), ang=pack(dang_c)),
+                    joint=P(vel=pack(fvel), ang=pack(fang)),
+                    actuator=P(vel=pack(avel), ang=pack(aang)),
+                )
+                info_acc = jax.tree.map(lambda a, b: a + b, info_acc, dinfo)
             carry = (pack(pos), pack(rot), pack(vel), pack(ang), info_acc)
             return carry, None
 

@@ -239,3 +239,28 @@ def test_fused_under_sharding_matches_single_device():
 
     np.testing.assert_allclose(
         np.asarray(pos_single), np.asarray(pos_sharded), atol=1e-6)
+
+
+def test_info_contact_only_gate(monkeypatch):
+    """POBRAX_INFO=contact skips the joint/actuator Info accumulators (no
+    env consumes them — observations read only contact.vel/.ang, reference
+    ant_tag.py:174-177): qp and contact info must be bit-identical to the
+    full path, joint/actuator zeros."""
+    monkeypatch.setenv("POBRAX_INFO", "contact")
+    sys_c = _mini_system()
+    monkeypatch.setenv("POBRAX_INFO", "full")
+    sys_f = _mini_system()
+    qp = sys_c.default_qp()
+    act = jnp.array([0.3, -0.5])
+    qc, ic = jax.jit(sys_c._fused_step)(qp, act)
+    qf, if_ = jax.jit(sys_f._fused_step)(qp, act)
+    for name in ("pos", "rot", "vel", "ang"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(qc, name)), np.asarray(getattr(qf, name)))
+    np.testing.assert_array_equal(np.asarray(ic.contact.vel),
+                                  np.asarray(if_.contact.vel))
+    np.testing.assert_array_equal(np.asarray(ic.contact.ang),
+                                  np.asarray(if_.contact.ang))
+    assert float(jnp.abs(ic.joint.vel).max()) == 0.0
+    assert float(jnp.abs(ic.actuator.ang).max()) == 0.0
+    assert float(jnp.abs(if_.joint.vel).max()) > 0.0  # full path populates
