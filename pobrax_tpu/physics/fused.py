@@ -693,26 +693,39 @@ def make_fused_step(sys) -> callable:
                 reps = cv["cap_repeats"]
                 K_rows = int(reps.sum())
 
-                # trace-time python ints: jnp.repeat with an ARRAY repeats
-                # arg lowers to roll+scatter (no Mosaic rule, and a worse
-                # XLA program than the static concat-of-broadcasts below)
+                # Broadcast strategy, measured per-K on the v5e chip
+                # (docs/PERFORMANCE.md): concat-of-broadcasts wins at small
+                # K (ant_tag K=36: +2% headline) but LOSES at large K
+                # (ant_maze K=108: -20%), where jnp.repeat's roll+scatter
+                # lowering compiles to a better schedule. Mosaic has no
+                # scatter rule, so POBRAX_PALLAS forces concat regardless.
                 reps_py = [int(r) for r in np.asarray(reps)]
+                use_concat = (
+                    K_rows <= int(os.environ.get("POBRAX_REP_CONCAT_MAX",
+                                                 "64"))
+                    or os.environ.get("POBRAX_PALLAS") == "1")
 
                 def rep(ts):
                     """C per-capsule scalar 3-tuples -> 3 (K,) columns via
-                    static repeat (concat of broadcasts; no gather/matmul).
-                    +zbc keeps the stack shape-uniform when some entries are
-                    python-float constants (frozen bodies)."""
+                    static repeat (concat of broadcasts, or array-repeats
+                    at large K — see strategy note above). +zbc keeps the
+                    stack shape-uniform when some entries are python-float
+                    constants (frozen bodies)."""
                     cols = []
                     for c_ in range(3):
                         col = jnp.stack([jnp.asarray(t[c_], dt_) + zbc
                                          for t in ts], -1)  # (..., C)
-                        pieces = [
-                            jnp.broadcast_to(col[..., i:i + 1],
-                                             col.shape[:-1] + (r,))
-                            for i, r in enumerate(reps_py) if r]
-                        cols.append(jnp.concatenate(pieces, axis=-1)
-                                    if len(pieces) > 1 else pieces[0])
+                        if use_concat:
+                            pieces = [
+                                jnp.broadcast_to(col[..., i:i + 1],
+                                                 col.shape[:-1] + (r,))
+                                for i, r in enumerate(reps_py) if r]
+                            cols.append(jnp.concatenate(pieces, axis=-1)
+                                        if len(pieces) > 1 else pieces[0])
+                        else:
+                            cols.append(jnp.repeat(
+                                col, reps, axis=-1,
+                                total_repeat_length=K_rows))
                     return cols
 
                 # world endpoints once per unique capsule (scalar, ~C ops)
