@@ -121,10 +121,33 @@ class RSACConfig:
     discounting: float = 0.99
     tau: float = 0.005
     reward_scaling: float = 1.0
+    # n-step TD targets within the stored sequence (R2D2 uses 5); 1 = the
+    # plain one-step SAC target. Off-policy bias from behavior-policy
+    # actions inside the window is the standard R2D2 trade.
+    nstep: int = 1
     normalize_observations: bool = True
     encoder_sizes: Tuple[int, ...] = (128,)
     hidden_size: int = 64
     head_sizes: Tuple[int, ...] = (128,)
+
+
+def nstep_targets(r, not_terminal, v_boot, gamma: float, n: int):
+    """(L, B) n-step TD targets within a sequence (R2D2-style).
+
+    G^(k)_t = r_t + gamma * nt_t * G^(k-1)_{t+1}; the boundary row t=L-1
+    keeps its 1-step target (bootstraps from v_boot's final entry), and a
+    terminal at t zeroes the recursion (rewards of the next episode in an
+    autoreset sequence never leak backwards). n=1 is the plain TD target."""
+    g1 = r + gamma * not_terminal * v_boot
+    target = g1
+    for _ in range(n - 1):
+        # row t consumes row t+1's target; the boundary row t=L-1 is
+        # RESTORED to its 1-step value each pass (it has nothing to look
+        # ahead to), which also gives the tail rows their naturally
+        # shorter horizons
+        new = r[:-1] + gamma * not_terminal[:-1] * target[1:]
+        target = jnp.concatenate([new, g1[-1:]], axis=0)
+    return target
 
 
 class RSACLearner:
@@ -279,9 +302,9 @@ class RSACLearner:
         v_boot = jnp.concatenate([v_next[1:], v_fin[None]], axis=0)
 
         not_terminal = 1.0 - seq["done"] * (1.0 - seq["truncation"])
-        target = jax.lax.stop_gradient(
-            seq["reward"] * cfg.reward_scaling
-            + cfg.discounting * not_terminal * v_boot)
+        target = jax.lax.stop_gradient(nstep_targets(
+            seq["reward"] * cfg.reward_scaling, not_terminal, v_boot,
+            cfg.discounting, cfg.nstep))
 
         q_taken = self._q_head(params.q, y, seq["action"])  # (L, B, 2)
         mask = jnp.zeros((L, 1))

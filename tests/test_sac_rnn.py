@@ -128,3 +128,35 @@ def test_grads_flow_to_both_heads():
     g_p = jax.grad(lambda p: learner._actor_loss(
         p, ts.params, ts.normalizer, seq, k)[0])(ts.params.policy)
     assert any(np.abs(np.asarray(x)).max() > 0 for x in jax.tree.leaves(g_p))
+
+
+def test_nstep_targets_semantics():
+    """nstep_targets: n=1 is the plain TD target; n=3 accumulates rewards
+    with done-cuts and boundary rows keep shorter horizons."""
+    import numpy as np
+    from pobrax_tpu.training.sac_rnn import nstep_targets
+
+    L, B, g = 5, 1, 0.9
+    r = jnp.asarray(np.arange(1.0, L + 1).reshape(L, B), jnp.float32)
+    v = jnp.asarray(np.full((L, B), 10.0), jnp.float32)
+    nt = jnp.ones((L, B))
+
+    t1 = nstep_targets(r, nt, v, g, 1)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(r + g * v))
+
+    t3 = nstep_targets(r, nt, v, g, 3)
+    # interior row 0: r0 + g r1 + g^2 r2 + g^3 v2(=v_boot[2])
+    want0 = 1.0 + g * 2.0 + g * g * 3.0 + g ** 3 * 10.0
+    np.testing.assert_allclose(float(t3[0, 0]), want0, rtol=1e-6)
+    # boundary row L-1 stays 1-step; row L-2 is 2-step
+    np.testing.assert_allclose(float(t3[L - 1, 0]), 5.0 + g * 10.0, rtol=1e-6)
+    np.testing.assert_allclose(float(t3[L - 2, 0]),
+                               4.0 + g * (5.0 + g * 10.0), rtol=1e-6)
+
+    # terminal at t=1 cuts the recursion: row 0 sees only r0 + g*v_boot[0]?
+    # no — nt_0=1 so row 0 bootstraps THROUGH v_boot via the recursion, but
+    # nt_1=0 makes G_1 = r_1 exactly, so row 0 = r0 + g * r1.
+    nt2 = nt.at[1, 0].set(0.0)
+    t3c = nstep_targets(r, nt2, v, g, 3)
+    np.testing.assert_allclose(float(t3c[1, 0]), 2.0, rtol=1e-6)
+    np.testing.assert_allclose(float(t3c[0, 0]), 1.0 + g * 2.0, rtol=1e-6)
