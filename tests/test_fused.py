@@ -264,3 +264,30 @@ def test_info_contact_only_gate(monkeypatch):
     assert float(jnp.abs(ic.joint.vel).max()) == 0.0
     assert float(jnp.abs(ic.actuator.ang).max()) == 0.0
     assert float(jnp.abs(if_.joint.vel).max()) > 0.0  # full path populates
+
+
+def test_fused_cb_repeat_branch_matches_concat(monkeypatch):
+    """The K-adaptive endpoint broadcast (POBRAX_REP_CONCAT_MAX) must be a
+    pure strategy switch: forcing the array-repeat branch (threshold 0) and
+    the concat branch (threshold high) on the same walled system gives
+    bit-close trajectories (the K>64 maze path runs the repeat branch in
+    production, which no small test system reaches by default)."""
+    monkeypatch.setenv("POBRAX_CB_VEC_MIN", "1")
+    monkeypatch.setenv("POBRAX_REP_CONCAT_MAX", "0")  # force array-repeat
+    sys_rep = _walled_system()
+    monkeypatch.setenv("POBRAX_REP_CONCAT_MAX", "9999")  # force concat
+    sys_cat = _walled_system()
+
+    qp = sys_rep.default_qp()
+
+    def roll(step_fn, qp):
+        def body(q, t):
+            q, info = step_fn(q, jnp.stack([jnp.sin(0.3 * t)]))
+            return q, (q.pos, info.contact.vel)
+        return jax.lax.scan(body, qp, jnp.arange(20, dtype=jnp.float32))
+
+    _, (pr, cr) = jax.jit(lambda q: roll(sys_rep._fused_step, q))(qp)
+    _, (pc, cc) = jax.jit(lambda q: roll(sys_cat._fused_step, q))(qp)
+    assert float(jnp.abs(cr).max()) > 0.0  # walls actually hit
+    np.testing.assert_allclose(np.asarray(pr), np.asarray(pc), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cr), np.asarray(cc), atol=1e-6)
