@@ -25,7 +25,7 @@ from examples.train_heavenhell_rnn import (  # noqa: E402
     ShapedHeavenHell, outcome_rates)
 
 
-def main(num_timesteps=80_000_000, num_envs=512):
+def main(num_timesteps=400_000_000, num_envs=512):
     env = _envs["ant_heavenhell"]()
     rand_c, rand_h = outcome_rates(
         _envs["ant_heavenhell"](),
@@ -63,6 +63,10 @@ def main(num_timesteps=80_000_000, num_envs=512):
         min_replay=24,
         learning_rate=3e-4,
         discounting=0.97,
+        # n-step targets are THE unlock on this task: 1-step plateaued at
+        # 2x random across three configs; nstep=5 reached 0.29 completion
+        # at 160M and 0.98 at 400M (docs/LEARNING.md)
+        nstep=5,
         # SAC's learned temperature balances reward against the -8 target
         # entropy; the shaped per-step rewards are ~1e-2, so unscaled they
         # drown in the entropy term and the policy stays near-random
