@@ -468,17 +468,34 @@ class RSACLearner:
         return policy
 
 
+def _ckpt_slice(ts: RSACTrainingState) -> dict:
+    """The checkpointed subset of the training state: everything EXCEPT the
+    replay buffer (GB-scale at production sizes, and stale across curriculum
+    phase boundaries anyway — resume refills it through min_replay warmup)."""
+    return {"params": ts.params, "policy_opt": ts.policy_opt,
+            "q_opt": ts.q_opt, "alpha_opt": ts.alpha_opt,
+            "normalizer": ts.normalizer, "epochs": ts.epochs}
+
+
 def train(
     env: Env,
     cfg: Optional[RSACConfig] = None,
     seed: int = 0,
     progress_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
     autoreset_mode: str = "naive",
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1_000_000,
     watchdog_deadline_s: Optional[float] = 1800.0,
     **cfg_overrides,
 ):
     """Train recurrent SAC on a core env; returns
-    (inference_fn, params_tuple, history)."""
+    (inference_fn, params_tuple, history).
+
+    With `checkpoint_dir`, params/optimizers/normalizer are saved every
+    `checkpoint_every` env-steps and resumed from the latest step dir (the
+    replay buffer is NOT checkpointed — see _ckpt_slice; resume re-warms it
+    through min_replay, which is also the right semantic when a curriculum
+    changes the env between phases)."""
     from pobrax_tpu.envs import wrappers
     from pobrax_tpu.parallel import health
 
@@ -493,14 +510,28 @@ def train(
     key, k_init, k_reset = jax.random.split(key, 3)
     env_state = jax.jit(wrapped.reset)(jax.random.split(k_reset, cfg.num_envs))
     ts = learner.init(k_init, env_state)
+    resumed_steps = 0
+    if checkpoint_dir is not None:
+        from pobrax_tpu.training import checkpoint as ckpt
+        latest = ckpt.latest_step_dir(checkpoint_dir)
+        if latest is not None:
+            piece = ckpt.restore(latest, template=_ckpt_slice(ts))
+            ts = ts.replace(**piece)
+            resumed_steps = int(ts.epochs) * (
+                cfg.seqs_per_epoch * cfg.seq_len * cfg.num_envs
+                * cfg.action_repeat)
+            key = jax.random.fold_in(key, int(ts.epochs))
     h = learner.h0(cfg.num_envs)
     epoch_fn = jax.jit(learner.build_epoch_fn(), donate_argnums=(0,))
 
     steps_per_epoch = (cfg.seqs_per_epoch * cfg.seq_len * cfg.num_envs
                        * cfg.action_repeat)
-    num_epochs = max(1, cfg.num_timesteps // steps_per_epoch)
+    remaining = max(0, cfg.num_timesteps - resumed_steps)
+    num_epochs = max(0 if resumed_steps else 1,
+                     -(-remaining // steps_per_epoch))
     history = []
     t0 = time.perf_counter()
+    last_ckpt = resumed_steps
     wd = (health.Watchdog(deadline_s=watchdog_deadline_s).start_monitor()
           if watchdog_deadline_s else None)
     if jax.process_count() > 1:
@@ -512,12 +543,21 @@ def train(
             if wd is not None:
                 jax.block_until_ready(metrics)
                 wd.beat()
+            total_steps = resumed_steps + (i + 1) * steps_per_epoch
             if progress_fn is not None:
                 metrics = jax.tree.map(float, jax.device_get(metrics))
                 metrics["steps_per_second"] = (
                     (i + 1) * steps_per_epoch / (time.perf_counter() - t0))
                 history.append(metrics)
-                progress_fn((i + 1) * steps_per_epoch, metrics)
+                progress_fn(total_steps, metrics)
+            if checkpoint_dir is not None and (
+                    total_steps - last_ckpt >= checkpoint_every
+                    or i == num_epochs - 1):
+                if jax.process_count() > 1:
+                    health.ping()
+                from pobrax_tpu.training import checkpoint as ckpt
+                ckpt.save_step(checkpoint_dir, total_steps, _ckpt_slice(ts))
+                last_ckpt = total_steps
     finally:
         if wd is not None:
             wd.stop_monitor()

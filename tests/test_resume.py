@@ -60,3 +60,33 @@ def test_rnn_ppo_checkpoint_resume(tmp_path):
     n1 = params1[0]  # normalizer state advanced further after resume
     n2 = params2[0]
     assert float(n2.count) > float(n1.count)
+
+
+def test_sac_rnn_checkpoint_resume(tmp_path):
+    """GRU-SAC resumes params/opt/normalizer (NOT the replay buffer — it
+    re-warms through min_replay) from the latest step dir."""
+    from pobrax_tpu.envs.fast import Fast
+    from pobrax_tpu.training import sac_rnn
+
+    kw = dict(num_envs=4, episode_length=16, seq_len=8, burn_in=2,
+              replay_capacity=8, batch_size=4, seqs_per_epoch=2,
+              min_replay=2, hidden_size=8, encoder_sizes=(16,),
+              head_sizes=(16,), seed=5, autoreset_mode="cached",
+              progress_fn=lambda s, m: None)
+    ckpt = str(tmp_path / "rsac_ckpt")
+    steps_per_epoch = 2 * 8 * 4  # seqs * seq_len * envs (repeat 1)
+    _, params1, hist1 = sac_rnn.train(
+        Fast(), num_timesteps=4 * steps_per_epoch,
+        checkpoint_dir=ckpt, checkpoint_every=1, **kw)
+    assert checkpoint.latest_step_dir(ckpt) is not None
+
+    _, params2, hist2 = sac_rnn.train(
+        Fast(), num_timesteps=8 * steps_per_epoch,
+        checkpoint_dir=ckpt, checkpoint_every=1, **kw)
+    # resumed: only the remaining ~4 epochs ran
+    assert len(hist2) <= len(hist1) + 1
+    # and the restored params differ from a fresh init (training continued)
+    a = jax.tree.leaves(params1[1])
+    b = jax.tree.leaves(params2[1])
+    assert any(float(np.abs(np.asarray(x) - np.asarray(y)).max()) > 0
+               for x, y in zip(a, b))
