@@ -31,7 +31,9 @@ from examples.train_ant_tag import ShapedAntTag  # noqa: E402
 from examples.train_ant_tag_rnn import tag_rate_rnn  # noqa: E402
 
 # (visible_radius, cumulative num_timesteps through the end of the phase)
-CURRICULUM = ((20.0, 450_000_000), (6.0, 900_000_000), (4.0, 1_350_000_000))
+# Phase 0 was extended in-flight to 750M (still climbing at 450M —
+# docs/learning_ant_tag_sac_rnn_phase0.json); later budgets shifted to match.
+CURRICULUM = ((20.0, 750_000_000), (6.0, 1_150_000_000), (4.0, 1_550_000_000))
 HIDDEN = 128
 
 

@@ -60,6 +60,57 @@ def sample(state: ReplayState, key: jnp.ndarray, batch: int) -> Any:
     return jax.tree.map(lambda buf: buf[idx], state.data)
 
 
+# ---- prioritized sampling over (slot, column) pairs -------------------------
+#
+# R2D2-style PER for sequence storage laid out (capacity, [time,] columns,
+# ...): a (capacity, columns) priority table lives alongside the ReplayState
+# (plain array, so trainers can carry it in their own state and the uniform
+# path pays nothing). Sampling is a single categorical draw over the
+# flattened table — no sum-tree needed on TPU, the masked softmax over
+# capacity*columns entries is one fused reduction.
+
+
+def priorities_init(capacity: int, columns: int) -> jnp.ndarray:
+    """Zeroed (capacity, columns) priority table; p=0 marks never-written
+    entries and masks them out of sampling."""
+    return jnp.zeros((capacity, columns), jnp.float32)
+
+
+def priorities_on_insert(pri: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+    """Give a freshly written slot max priority (PER convention: every
+    sequence is sampleable at full weight until its TD error is known)."""
+    return pri.at[slot].set(jnp.maximum(jnp.max(pri), 1.0))
+
+
+def sample_prioritized(
+    pri: jnp.ndarray, key: jnp.ndarray, batch: int,
+    alpha: float, beta: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Draw `batch` (slot, col) pairs with P(i) ∝ p_i^alpha (with
+    replacement) and return (slot, col, w) where w are the importance
+    weights (N·P(i))^-beta normalized by their max (so w ≤ 1 and alpha=0
+    recovers uniform sampling with w ≡ 1). Requires ≥1 written entry.
+    NOTE: gathers across the column axis — same sharding caveat as
+    sample_transitions."""
+    valid = pri > 0
+    pa = jnp.where(valid, jnp.power(pri, alpha), 0.0)
+    logits = jnp.where(valid, jnp.log(jnp.maximum(pa, 1e-30)), -jnp.inf)
+    flat = jax.random.categorical(key, logits.reshape(-1), shape=(batch,))
+    slot = flat // pri.shape[1]
+    col = flat % pri.shape[1]
+    probs = (pa / jnp.maximum(jnp.sum(pa), 1e-30)).reshape(-1)[flat]
+    n = jnp.maximum(jnp.sum(valid).astype(jnp.float32), 1.0)
+    w = jnp.power(n * jnp.maximum(probs, 1e-30), -beta)
+    return slot, col, w / jnp.maximum(jnp.max(w), 1e-30)
+
+
+def priorities_update(pri: jnp.ndarray, slot: jnp.ndarray, col: jnp.ndarray,
+                      td_abs: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    """Write back |TD| priorities for sampled pairs (duplicates: last write
+    wins, the standard with-replacement PER trade)."""
+    return pri.at[slot, col].set(td_abs + eps)
+
+
 def sample_transitions(state: ReplayState, key: jnp.ndarray, batch: int) -> Any:
     """Uniform sample of `batch` individual transitions (with replacement).
 

@@ -14,7 +14,9 @@ envs; the reference stack has no trainer at all — SURVEY.md §3.5). Design:
   * replay: each slot stores a WHOLE (seq_len, num_envs, ...) sequence
     plus the actor's hidden state at the sequence start (R2D2's stored
     recurrent state). Sampling draws (slot, env-column) pairs ->
-    decorrelated (seq_len, batch, ...) sequences.
+    decorrelated (seq_len, batch, ...) sequences; with cfg.per_alpha > 0
+    the draw is prioritized (R2D2's eta-mixed |TD| priorities with
+    importance-weighted critic loss — replay.sample_prioritized).
   * burn-in: the first `burn_in` steps of a sampled sequence only warm the
     hiddens (stop-gradient, losses masked out); critic hiddens start at
     zero, the actor's from the stored h0. Hiddens are zeroed where a step
@@ -102,6 +104,9 @@ class RSACTrainingState:
     normalizer: running_statistics.RunningStatisticsState
     buffer: replay.ReplayState
     epochs: jnp.ndarray
+    # (capacity, num_envs) PER table when cfg.per_alpha > 0, else () — kept
+    # out of _ckpt_slice like the buffer itself (stale across phases)
+    priorities: Any = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,6 +130,13 @@ class RSACConfig:
     # plain one-step SAC target. Off-policy bias from behavior-policy
     # actions inside the window is the standard R2D2 trade.
     nstep: int = 1
+    # prioritized sequence replay (replay.sample_prioritized): P ∝ p^alpha
+    # with p = eta·max|TD| + (1-eta)·mean|TD| over the trained segment
+    # (R2D2's mix) and (N·P)^-beta importance weights on the critic loss.
+    # per_alpha = 0 keeps uniform sampling (the default).
+    per_alpha: float = 0.0
+    per_beta: float = 0.4
+    per_eta: float = 0.9
     normalize_observations: bool = True
     encoder_sizes: Tuple[int, ...] = (128,)
     hidden_size: int = 64
@@ -206,6 +218,8 @@ class RSACLearner:
             normalizer=running_statistics.init_state(self.obs_size),
             buffer=replay.init(seq_sample, self.cfg.replay_capacity),
             epochs=jnp.zeros((), jnp.int32),
+            priorities=(replay.priorities_init(self.cfg.replay_capacity, B)
+                        if self.cfg.per_alpha > 0 else ()),
         )
 
     # ---- pieces ---------------------------------------------------------------
@@ -310,8 +324,18 @@ class RSACLearner:
         mask = jnp.zeros((L, 1))
         mask = mask.at[cfg.burn_in:].set(1.0)
         denom = jnp.maximum(mask.sum() * q_taken.shape[1], 1.0)
+        err = q_taken - target[..., None]  # (L, B, 2)
+        # per-sequence importance weights (prioritized replay); absent key
+        # = uniform sampling = weight 1
+        w = seq["is_weight"][:, None] if "is_weight" in seq else 1.0
         critic_loss = 0.5 * jnp.sum(
-            mask[..., None] * jnp.square(q_taken - target[..., None])) / denom
+            w * mask[..., None] * jnp.square(err)) / denom
+        # per-sequence |TD| summary for priority write-back (R2D2's
+        # eta-mix of max and mean over the trained segment, twin-averaged)
+        abs_err = jax.lax.stop_gradient(jnp.mean(jnp.abs(err), axis=-1))
+        td_mean = jnp.sum(mask * abs_err, axis=0) / jnp.maximum(mask.sum(), 1.0)
+        td_max = jnp.max(mask * abs_err, axis=0)
+        td_seq = cfg.per_eta * td_max + (1.0 - cfg.per_eta) * td_mean
 
         # --- actor loss on the training segment, via the ONLINE critic
         # features (gradient reaches the actor only through the action)
@@ -320,16 +344,17 @@ class RSACLearner:
             mask * (alpha * logp - jnp.min(q_pi, axis=-1))) / denom
         logp_masked = jax.lax.stop_gradient(
             jnp.sum(mask * logp) / denom)
-        return critic_loss, actor_loss, logp_masked
+        return critic_loss, actor_loss, logp_masked, td_seq
 
     def _critic_loss(self, q_params, params, normalizer, seq, key):
+        """Returns (loss, per-sequence |TD| for priority write-back)."""
         p = params.replace(q=q_params)
-        closs, _, _ = self._losses(p, normalizer, seq, key)
-        return closs
+        closs, _, _, td_seq = self._losses(p, normalizer, seq, key)
+        return closs, td_seq
 
     def _actor_loss(self, policy_params, params, normalizer, seq, key):
         p = params.replace(policy=policy_params)
-        _, aloss, logp = self._losses(p, normalizer, seq, key)
+        _, aloss, logp, _ = self._losses(p, normalizer, seq, key)
         return aloss, logp
 
     def _alpha_loss(self, log_alpha, logp):
@@ -346,10 +371,16 @@ class RSACLearner:
             # with the env-column axis AFTER time, so the generic
             # replay.sample_transitions layout doesn't apply here
             k_slot, k_col = jax.random.split(k1)
-            size = jnp.maximum(ts.buffer.size, 1)
-            slot = jax.random.randint(k_slot, (cfg.batch_size,), 0, size)
-            B_env = ts.buffer.data["h0"].shape[1]
-            col = jax.random.randint(k_col, (cfg.batch_size,), 0, B_env)
+            if cfg.per_alpha > 0:
+                slot, col, is_w = replay.sample_prioritized(
+                    ts.priorities, k_slot, cfg.batch_size,
+                    cfg.per_alpha, cfg.per_beta)
+            else:
+                size = jnp.maximum(ts.buffer.size, 1)
+                slot = jax.random.randint(k_slot, (cfg.batch_size,), 0, size)
+                B_env = ts.buffer.data["h0"].shape[1]
+                col = jax.random.randint(k_col, (cfg.batch_size,), 0, B_env)
+                is_w = None
             seq = {
                 "h0": ts.buffer.data["h0"][slot, col],
                 # advanced indexing puts the paired (slot, col) batch axis
@@ -358,8 +389,11 @@ class RSACLearner:
                    for f in ("obs", "action", "reward", "done",
                              "truncation", "final_obs")},
             }
+            if is_w is not None:
+                seq["is_weight"] = is_w
 
-            q_loss, q_grads = jax.value_and_grad(self._critic_loss)(
+            (q_loss, td_seq), q_grads = jax.value_and_grad(
+                self._critic_loss, has_aux=True)(
                 ts.params.q, ts.params, ts.normalizer, seq, k2)
             q_updates, q_opt = self.q_opt.update(q_grads, ts.q_opt)
             q_params = optax.apply_updates(ts.params.q, q_updates)
@@ -382,8 +416,10 @@ class RSACLearner:
                 ts.params.target_q, q_params)
             params = RSACParams(policy=policy_params, q=q_params,
                                 target_q=target_q, log_alpha=log_alpha)
+            pri = (replay.priorities_update(ts.priorities, slot, col, td_seq)
+                   if cfg.per_alpha > 0 else ts.priorities)
             ts = ts.replace(params=params, policy_opt=policy_opt,
-                            q_opt=q_opt, alpha_opt=alpha_opt)
+                            q_opt=q_opt, alpha_opt=alpha_opt, priorities=pri)
             return ts, {"q_loss": q_loss, "actor_loss": a_loss,
                         "alpha": jnp.exp(log_alpha)}
 
@@ -427,8 +463,11 @@ class RSACLearner:
                 key, k_seq, k_grad = jax.random.split(key, 3)
                 env_state, h, normalizer, seq = collect_seq(
                     ts, env_state, h, k_seq)
+                pri = (replay.priorities_on_insert(
+                    ts.priorities, ts.buffer.insert_pos)
+                    if cfg.per_alpha > 0 else ts.priorities)
                 ts = ts.replace(buffer=replay.insert(ts.buffer, seq),
-                                normalizer=normalizer)
+                                normalizer=normalizer, priorities=pri)
 
                 def do_grads(ts):
                     ts2, metrics = ts, None

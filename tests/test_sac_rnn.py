@@ -122,12 +122,66 @@ def test_grads_flow_to_both_heads():
         "final_obs": jax.random.normal(k, (L, B, learner.obs_size)),
         "h0": jnp.zeros((B, cfg.hidden_size)),
     }
-    g_q = jax.grad(learner._critic_loss)(ts.params.q, ts.params,
-                                         ts.normalizer, seq, k)
+    g_q = jax.grad(learner._critic_loss, has_aux=True)(
+        ts.params.q, ts.params, ts.normalizer, seq, k)[0]
     assert any(np.abs(np.asarray(x)).max() > 0 for x in jax.tree.leaves(g_q))
     g_p = jax.grad(lambda p: learner._actor_loss(
         p, ts.params, ts.normalizer, seq, k)[0])(ts.params.policy)
     assert any(np.abs(np.asarray(x)).max() > 0 for x in jax.tree.leaves(g_p))
+
+
+def test_prioritized_sampling_semantics():
+    """replay.sample_prioritized: unwritten entries never drawn, high-|TD|
+    entries dominate, importance weights are <=1 and smallest where the
+    priority is highest; alpha=0 recovers uniform with w==1."""
+    from pobrax_tpu.training import replay
+
+    pri = replay.priorities_init(8, 4)
+    # two written slots (rows 0-1), one entry much hotter than the rest
+    pri = replay.priorities_on_insert(pri, jnp.int32(0))
+    pri = replay.priorities_on_insert(pri, jnp.int32(1))
+    pri = replay.priorities_update(pri, jnp.array([1]), jnp.array([2]),
+                                   jnp.array([100.0]))
+    slot, col, w = replay.sample_prioritized(
+        pri, jax.random.PRNGKey(0), 512, alpha=1.0, beta=1.0)
+    slot, col, w = np.asarray(slot), np.asarray(col), np.asarray(w)
+    assert slot.max() <= 1  # rows 2+ were never written
+    hot = (slot == 1) & (col == 2)
+    assert hot.mean() > 0.8  # p=100 vs seven p=1 entries
+    assert w.max() <= 1.0 + 1e-6
+    # the hot entry is oversampled -> it carries the SMALLEST weight
+    assert w[hot].max() < w[~hot].min()
+
+    slot_u, col_u, w_u = replay.sample_prioritized(
+        pri, jax.random.PRNGKey(1), 2048, alpha=0.0, beta=1.0)
+    np.testing.assert_allclose(np.asarray(w_u), 1.0, rtol=1e-6)
+    # uniform over the 8 written entries
+    flat = np.asarray(slot_u) * 4 + np.asarray(col_u)
+    counts = np.bincount(flat, minlength=8)
+    assert counts.min() > 2048 / 8 * 0.6
+
+
+def test_per_smoke_train_and_priorities_move():
+    """End-to-end epoch with per_alpha>0: losses finite and the priority
+    table departs from the insert-time max-priority plateau."""
+    from pobrax_tpu.envs import wrappers
+
+    env = wrappers.RandomizedAutoResetWrapperNaive(wrappers.VmapWrapper(
+        wrappers.EpisodeWrapper(InvertedPendulum(), 32, 1), batch_size=4))
+    cfg = _mini_cfg(per_alpha=0.9, per_beta=0.4, batch_size=16)
+    learner = sac_rnn.RSACLearner(env, cfg)
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(env.reset)(jax.random.split(key, 4))
+    ts = learner.init(key, state)
+    assert ts.priorities.shape == (cfg.replay_capacity, 4)
+    epoch = jax.jit(learner.build_epoch_fn())
+    h = learner.h0(4)
+    for i in range(3):
+        ts, state, h, metrics = epoch(ts, state, h, jax.random.PRNGKey(i))
+    assert np.isfinite(float(metrics["q_loss"]))
+    pri = np.asarray(ts.priorities)
+    written = pri[pri > 0]
+    assert written.size > 0 and np.unique(written).size > 1
 
 
 def test_nstep_targets_semantics():
