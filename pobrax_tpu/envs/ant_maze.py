@@ -62,6 +62,9 @@ class AntMazeEnv(Env):
                  goal_reward: float = 10.0, dying_cost: float = -10.0,
                  **kwargs):
         super().__init__(extend_ant_cfg(maze_id, length, scaling))
+        self.maze_id = maze_id
+        self.length = length
+        self.scaling = scaling
         self.n_bins = n_bins
         self.sensor_range = sensor_range
         self.half_span = sensor_span / 2.0

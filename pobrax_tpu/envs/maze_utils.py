@@ -254,3 +254,88 @@ def maze_to_wall_segments(structure: Sequence[Sequence], scaling: float = 4.0,
             else:
                 i += 1
     return np.asarray(segments, np.float64)
+
+
+def geodesic_distance_field(structure: Sequence[Sequence],
+                            scaling: float = 4.0,
+                            subdivisions: int = 5,
+                            ) -> Tuple[np.ndarray, float, float, float]:
+    """In-maze (geodesic) distance-to-goal field for potential shaping.
+
+    Euclidean distance is the WRONG potential in a maze: on maze 0's
+    U-shaped corridor the straight line to the goal points through a wall,
+    so progress shaping on ||xy - goal|| rewards pressing into the divider
+    (the AntTag shaping lesson — docs/LEARNING.md — transplanted to a world
+    with obstacles). This computes the true shortest-path distance instead:
+    each maze cell is subdivided `subdivisions` x `subdivisions`, wall cells
+    are blocked, and an 8-connected Dijkstra from the 'g' cell(s) labels
+    every floor subcell with its path length. Blocked subcells get
+    max+scaling so bilinear interpolation near a wall slopes away from it.
+
+    Returns (field[rows*S, cols*S] row-major in grid frame, x0, y0, res):
+    subcell (a, b) center is world (x0 + b*res, y0 - a*res); `res` =
+    scaling/subdivisions. Host-side numpy, build-time only — the consumer
+    uploads the field once as a constant and interpolates inside jit.
+    """
+    import heapq
+
+    struct = [list(row) for row in structure]
+    rows, cols = len(struct), len(struct[0])
+    S = subdivisions
+    res = scaling / S
+    r_cell = None
+    for i, row in enumerate(struct):
+        for j, v in enumerate(row):
+            if v == 'r':
+                r_cell = (i, j)
+    if r_cell is None:
+        raise ValueError("maze has no 'r' start cell")
+    # world xy of subcell (a, b): subdivide each cell around its center
+    x0 = (0 - r_cell[1] - 0.5) * scaling + res / 2.0
+    y0 = (r_cell[0] - 0 + 0.5) * scaling - res / 2.0
+
+    blocked = np.zeros((rows * S, cols * S), bool)
+    seeds = []
+    for i in range(rows):
+        for j in range(cols):
+            if struct[i][j] == 1:
+                blocked[i * S:(i + 1) * S, j * S:(j + 1) * S] = True
+            elif struct[i][j] == 'g':
+                c = S // 2
+                seeds.append((i * S + c, j * S + c))
+    if not seeds:
+        raise ValueError("maze has no 'g' goal cell")
+
+    dist = np.full(blocked.shape, np.inf)
+    heap = []
+    for s in seeds:
+        dist[s] = 0.0
+        heapq.heappush(heap, (0.0, s))
+    diag = res * math.sqrt(2.0)
+    while heap:
+        d, (a, b) = heapq.heappop(heap)
+        if d > dist[a, b]:
+            continue
+        for da in (-1, 0, 1):
+            for db in (-1, 0, 1):
+                if da == 0 and db == 0:
+                    continue
+                na, nb = a + da, b + db
+                if not (0 <= na < blocked.shape[0]
+                        and 0 <= nb < blocked.shape[1]):
+                    continue
+                if blocked[na, nb]:
+                    continue
+                # no corner cutting: a diagonal move requires both
+                # adjacent orthogonal subcells open
+                if da != 0 and db != 0 and (
+                        blocked[a, nb] or blocked[na, b]):
+                    continue
+                nd = d + (diag if da != 0 and db != 0 else res)
+                if nd < dist[na, nb]:
+                    dist[na, nb] = nd
+                    heapq.heappush(heap, (nd, (na, nb)))
+    finite = dist[np.isfinite(dist)]
+    fill = (finite.max() if finite.size else 0.0) + scaling
+    dist[~np.isfinite(dist)] = fill
+    return dist.astype(np.float32), float(x0), float(y0), float(res)

@@ -94,3 +94,46 @@ def test_antmaze_goal_visible_within_radius():
         jnp.asarray(env._goals[0]) + jnp.array([1.0, 0.0])))
     obs = env._get_obs(qp, env.sys.info(qp))
     assert float(jnp.linalg.norm(obs[-2:])) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_geodesic_field_monotone_along_corridor():
+    """The potential-shaping field: distance decreases monotonically along
+    maze 0's U-corridor toward the goal, and wall cells are repulsive
+    (higher than any floor value, so interpolated gradients point away)."""
+    structure = maze_utils.construct_maze(0)
+    field, x0, y0, res = maze_utils.geodesic_distance_field(structure, 4.0, 5)
+    assert field.shape == (25, 25)
+
+    def at(x, y):
+        return field[int(round((y0 - y) / res)), int(round((x - x0) / res))]
+
+    corridor = [(0, 0), (4, 0), (8, 0), (8, -4), (8, -8), (4, -8), (0, -8)]
+    vals = [at(*p) for p in corridor]
+    assert vals[-1] == 0.0  # goal cell
+    assert all(a > b for a, b in zip(vals, vals[1:]))  # strictly decreasing
+    # the wall cell on the euclidean straight line r->g is repulsive
+    assert at(0, -4) > max(vals)
+
+
+def test_shaped_ant_maze_progress_reward():
+    """ShapedAntMaze adds coef*(phi'-phi); teleporting the ant one cell
+    along the corridor must yield a positive shaped delta even though the
+    euclidean distance to the goal INCREASES on that segment (maze 0:
+    (0,0)->(4,0) moves away from the goal at (0,-8) in straight line)."""
+    from examples.train_ant_maze_rnn import ShapedAntMaze
+    from pobrax_tpu.envs.ant_maze import AntMazeEnv
+
+    env = ShapedAntMaze(AntMazeEnv(maze_id=0), coef=1.0)
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    p0 = env._phi(s.qp)
+    qp1 = s.qp.replace(pos=s.qp.pos.at[0, :2].set(jnp.array([4.0, 0.0])))
+    p1 = env._phi(qp1)
+    assert float(p1) > float(p0)
+    # euclidean check that this is the case euclidean shaping gets wrong
+    goal = jnp.asarray(env.unwrapped._goals[0])
+    assert float(jnp.linalg.norm(jnp.array([4.0, 0.0]) - goal)) > float(
+        jnp.linalg.norm(jnp.array([0.0, 0.0]) - goal))
+    # a shaped step runs under jit and stays finite
+    a = jnp.zeros((env.action_size,))
+    ns = jax.jit(env.step)(s, a)
+    assert bool(jnp.isfinite(ns.reward))
