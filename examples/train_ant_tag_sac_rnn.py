@@ -33,7 +33,13 @@ from examples.train_ant_tag_rnn import tag_rate_rnn  # noqa: E402
 # (visible_radius, cumulative num_timesteps through the end of the phase)
 # Phase 0 was extended in-flight to 750M (still climbing at 450M —
 # docs/learning_ant_tag_sac_rnn_phase0.json); later budgets shifted to match.
-CURRICULUM = ((20.0, 750_000_000), (6.0, 1_150_000_000), (4.0, 1_550_000_000))
+CURRICULUM = ((20.0, 750_000_000), (6.0, 1_150_000_000), (4.0, 1_550_000_000),
+              # phase 3 added in round 4: the 6.0 phase SPECIALIZED the
+              # policy to 4-6-distance sightings (r6 eval 0.559, but the
+              # true-env rate fell 0.207 -> 0.020) and one 400M phase at
+              # 4.0 only recovered 0.074 — keep training at the true
+              # radius (docs/learning_ant_tag_sac_rnn_phase*.json)
+              (4.0, 1_950_000_000))
 HIDDEN = 128
 
 
