@@ -31,15 +31,28 @@ def init_state(obs_size: int) -> RunningStatisticsState:
     )
 
 
-def update(state: RunningStatisticsState, batch: jnp.ndarray) -> RunningStatisticsState:
-    """Fold a batch (..., obs_size) into the running statistics."""
+def update(state: RunningStatisticsState, batch: jnp.ndarray,
+           axis_name=None) -> RunningStatisticsState:
+    """Fold a batch (..., obs_size) into the running statistics.
+
+    Under jit+shardings the reductions below already run over the global
+    batch (XLA inserts the collectives). Under `shard_map`, where shapes
+    are per-shard, pass `axis_name` so the batch sums psum over the mesh
+    axis and every shard folds the identical global statistics."""
     flat = batch.reshape((-1, batch.shape[-1]))
     batch_count = jnp.asarray(flat.shape[0], jnp.float32)
-    count = state.count + batch_count
     diff_to_old = flat - state.mean
-    mean = state.mean + jnp.sum(diff_to_old, axis=0) / count
+    sum_old = jnp.sum(diff_to_old, axis=0)
+    if axis_name is not None:
+        batch_count = jax.lax.psum(batch_count, axis_name)
+        sum_old = jax.lax.psum(sum_old, axis_name)
+    count = state.count + batch_count
+    mean = state.mean + sum_old / count
     diff_to_new = flat - mean
-    summed_variance = state.summed_variance + jnp.sum(diff_to_old * diff_to_new, axis=0)
+    sum_var = jnp.sum(diff_to_old * diff_to_new, axis=0)
+    if axis_name is not None:
+        sum_var = jax.lax.psum(sum_var, axis_name)
+    summed_variance = state.summed_variance + sum_var
     std = jnp.sqrt(jnp.maximum(summed_variance / count, 1e-6))
     return RunningStatisticsState(
         count=count, mean=mean, summed_variance=summed_variance, std=std)

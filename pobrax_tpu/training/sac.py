@@ -65,7 +65,14 @@ class SACConfig:
 
 
 class SACLearner:
-    def __init__(self, env: Env, cfg: SACConfig):
+    def __init__(self, env: Env, cfg: SACConfig,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        self.mesh = mesh
+        self.axis = "data" if mesh is not None else None
+        self.n_shards = int(mesh.shape["data"]) if mesh is not None else 1
+        if cfg.num_envs % self.n_shards or cfg.batch_size % self.n_shards:
+            raise ValueError("num_envs and batch_size must divide the mesh "
+                             "'data' axis")
         self.env = env
         self.cfg = cfg
         self.obs_size = env.observation_size
@@ -164,27 +171,38 @@ class SACLearner:
 
     def build_epoch_fn(self) -> Callable:
         cfg = self.cfg
+        # under shard_map shapes are per-shard: each shard samples
+        # batch_size/n_shards transitions from ITS OWN envs' buffer columns
+        # and the grads pmean over the mesh axis (replay never crosses ICI)
+        local_bs = cfg.batch_size // self.n_shards
+        axis = self.axis
+
+        def pmean(x):
+            return jax.lax.pmean(x, axis) if axis is not None else x
 
         def grad_step(ts: SACTrainingState, key):
             k1, k2, k3 = jax.random.split(key, 3)
             # batch_size INDIVIDUAL transitions (random slot AND env column) —
             # whole-slot sampling would train on time-correlated blocks and
             # make `batch_size` mean slots, not transitions
-            batch = replay.sample_transitions(ts.buffer, k1, cfg.batch_size)
+            batch = replay.sample_transitions(ts.buffer, k1, local_bs)
 
             q_loss, q_grads = jax.value_and_grad(self._critic_loss)(
                 ts.params.q, ts.params, ts.normalizer, batch, k2)
+            q_grads = pmean(q_grads)
             q_updates, q_opt = self.q_opt.update(q_grads, ts.q_opt)
             q_params = optax.apply_updates(ts.params.q, q_updates)
 
             (a_loss, logp), a_grads = jax.value_and_grad(
                 self._actor_loss, has_aux=True)(
                 ts.params.policy, ts.params, ts.normalizer, batch, k3)
+            a_grads = pmean(a_grads)
             p_updates, policy_opt = self.policy_opt.update(a_grads, ts.policy_opt)
             policy_params = optax.apply_updates(ts.params.policy, p_updates)
 
             al_loss, al_grads = jax.value_and_grad(self._alpha_loss)(
                 ts.params.log_alpha, logp)
+            al_grads = pmean(al_grads)
             al_updates, alpha_opt = self.alpha_opt.update(al_grads, ts.alpha_opt)
             log_alpha = optax.apply_updates(ts.params.log_alpha, al_updates)
 
@@ -195,7 +213,7 @@ class SACLearner:
                                target_q=target_q, log_alpha=log_alpha)
             ts = ts.replace(params=params, policy_opt=policy_opt,
                             q_opt=q_opt, alpha_opt=alpha_opt)
-            return ts, {"q_loss": q_loss, "actor_loss": a_loss,
+            return ts, {"q_loss": pmean(q_loss), "actor_loss": pmean(a_loss),
                         "alpha": jnp.exp(log_alpha)}
 
         def epoch(ts: SACTrainingState, env_state: State, key: jnp.ndarray):
@@ -223,7 +241,8 @@ class SACLearner:
                 buffer = replay.insert(ts.buffer, transition)
                 normalizer = ts.normalizer
                 if cfg.normalize_observations:
-                    normalizer = running_statistics.update(normalizer, env_state.obs)
+                    normalizer = running_statistics.update(
+                        normalizer, env_state.obs, axis_name=axis)
                 ts = ts.replace(buffer=buffer, normalizer=normalizer)
 
                 def do_grads(ts):
@@ -241,7 +260,7 @@ class SACLearner:
 
                 ts, metrics = jax.lax.cond(
                     ts.buffer.size >= cfg.min_replay, do_grads, skip, ts)
-                metrics["mean_reward"] = jnp.mean(nstate.reward)
+                metrics["mean_reward"] = pmean(jnp.mean(nstate.reward))
                 return (ts, nstate, key), metrics
 
             (ts, env_state, _), metrics = jax.lax.scan(
@@ -249,7 +268,43 @@ class SACLearner:
             ts = ts.replace(epochs=ts.epochs + 1)
             return ts, env_state, jax.tree.map(jnp.mean, metrics)
 
-        return epoch
+        if self.mesh is None:
+            return epoch
+
+        # SPMD epoch over the 'data' axis (same design as sac_rnn): envs
+        # and replay columns sharded, learner replicated via pmean.
+        from jax.experimental.shard_map import shard_map
+
+        def epoch_sharded(ts, env_state, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            return epoch(ts, env_state, key)
+
+        P = jax.sharding.PartitionSpec
+        ts_spec = self.state_spec()
+        return shard_map(
+            epoch_sharded, mesh=self.mesh,
+            in_specs=(ts_spec, P("data"), P()),
+            out_specs=(ts_spec, P("data"), P()),
+            check_rep=False)
+
+    def state_spec(self):
+        """PartitionSpec pytree: replay env-columns sharded on 'data',
+        everything else replicated."""
+        P = jax.sharding.PartitionSpec
+        rep = P()
+        buf_spec = replay.ReplayState(
+            data={f: P(None, "data") for f in (
+                "obs", "action", "reward", "next_obs", "done", "truncation")},
+            insert_pos=rep, size=rep)
+        return SACTrainingState(
+            params=rep, policy_opt=rep, q_opt=rep, alpha_opt=rep,
+            normalizer=rep, buffer=buf_spec, epochs=rep)
+
+    def state_sharding(self):
+        mk = lambda spec: jax.sharding.NamedSharding(self.mesh, spec)
+        return jax.tree.map(mk, self.state_spec(),
+                            is_leaf=lambda x: isinstance(
+                                x, jax.sharding.PartitionSpec))
 
     def make_inference_fn(self) -> Callable:
         def policy(params_tuple, obs, key, deterministic: bool = False):
@@ -265,6 +320,7 @@ def train(
     env: Env,
     cfg: Optional[SACConfig] = None,
     seed: int = 0,
+    mesh: Optional[jax.sharding.Mesh] = None,
     progress_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
     autoreset_mode: str = "naive",
     watchdog_deadline_s: Optional[float] = 1800.0,
@@ -273,7 +329,9 @@ def train(
     """Train SAC on a core env; returns (inference_fn, params_tuple, history).
 
     `autoreset_mode`: 'naive' (per-step resample) or 'cached' (on-device
-    cached refresh, faster stepping — docs/PERFORMANCE.md)."""
+    cached refresh, faster stepping — docs/PERFORMANCE.md).
+    With `mesh`, the epoch runs as one shard_map over 'data' (see
+    sac_rnn.train — same replay-stays-local design)."""
     from pobrax_tpu.envs import wrappers
 
     cfg = dataclasses.replace(cfg or SACConfig(), **cfg_overrides)
@@ -281,11 +339,16 @@ def train(
     wrapped = wrappers.VmapWrapper(wrapped, batch_size=cfg.num_envs)
     wrapped = wrappers.randomized_autoreset(wrapped, autoreset_mode)
 
-    learner = SACLearner(wrapped, cfg)
+    learner = SACLearner(wrapped, cfg, mesh=mesh)
     key = jax.random.PRNGKey(seed)
     key, k_init, k_reset = jax.random.split(key, 3)
     env_state = jax.jit(wrapped.reset)(jax.random.split(k_reset, cfg.num_envs))
     ts = learner.init(k_init, env_state)
+    if mesh is not None:
+        dsh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))
+        env_state = jax.device_put(env_state, dsh)
+        ts = jax.device_put(ts, learner.state_sharding())
     epoch_fn = jax.jit(learner.build_epoch_fn(), donate_argnums=(0,))
 
     steps_per_epoch = cfg.steps_per_epoch * cfg.num_envs

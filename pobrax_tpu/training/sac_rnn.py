@@ -163,9 +163,16 @@ def nstep_targets(r, not_terminal, v_boot, gamma: float, n: int):
 
 
 class RSACLearner:
-    def __init__(self, env: Env, cfg: RSACConfig):
+    def __init__(self, env: Env, cfg: RSACConfig,
+                 mesh: Optional[jax.sharding.Mesh] = None):
         if cfg.burn_in >= cfg.seq_len:
             raise ValueError("burn_in must be < seq_len")
+        self.mesh = mesh
+        self.axis = "data" if mesh is not None else None
+        self.n_shards = int(mesh.shape["data"]) if mesh is not None else 1
+        if cfg.num_envs % self.n_shards or cfg.batch_size % self.n_shards:
+            raise ValueError("num_envs and batch_size must divide the mesh "
+                             "'data' axis")
         self.env = env
         self.cfg = cfg
         self.obs_size = env.observation_size
@@ -364,6 +371,15 @@ class RSACLearner:
 
     def build_epoch_fn(self) -> Callable:
         cfg = self.cfg
+        # under shard_map shapes are per-shard: each shard samples its own
+        # envs' columns (communication-free — the buffer never leaves its
+        # device) and contributes batch_size/n_shards sequences to every
+        # gradient step, whose grads pmean over the mesh axis below
+        local_bs = cfg.batch_size // self.n_shards
+        axis = self.axis
+
+        def pmean(x):
+            return jax.lax.pmean(x, axis) if axis is not None else x
 
         def grad_step(ts: RSACTrainingState, key):
             k1, k2, k3 = jax.random.split(key, 3)
@@ -372,14 +388,16 @@ class RSACLearner:
             # replay.sample_transitions layout doesn't apply here
             k_slot, k_col = jax.random.split(k1)
             if cfg.per_alpha > 0:
+                # sharded: per-shard tables and per-shard IS normalization —
+                # the R2D2 distributed approximation
                 slot, col, is_w = replay.sample_prioritized(
-                    ts.priorities, k_slot, cfg.batch_size,
+                    ts.priorities, k_slot, local_bs,
                     cfg.per_alpha, cfg.per_beta)
             else:
                 size = jnp.maximum(ts.buffer.size, 1)
-                slot = jax.random.randint(k_slot, (cfg.batch_size,), 0, size)
+                slot = jax.random.randint(k_slot, (local_bs,), 0, size)
                 B_env = ts.buffer.data["h0"].shape[1]
-                col = jax.random.randint(k_col, (cfg.batch_size,), 0, B_env)
+                col = jax.random.randint(k_col, (local_bs,), 0, B_env)
                 is_w = None
             seq = {
                 "h0": ts.buffer.data["h0"][slot, col],
@@ -395,16 +413,21 @@ class RSACLearner:
             (q_loss, td_seq), q_grads = jax.value_and_grad(
                 self._critic_loss, has_aux=True)(
                 ts.params.q, ts.params, ts.normalizer, seq, k2)
+            q_grads = pmean(q_grads)
             q_updates, q_opt = self.q_opt.update(q_grads, ts.q_opt)
             q_params = optax.apply_updates(ts.params.q, q_updates)
 
             (a_loss, logp), a_grads = jax.value_and_grad(
                 self._actor_loss, has_aux=True)(
                 ts.params.policy, ts.params, ts.normalizer, seq, k3)
+            a_grads = pmean(a_grads)
             p_updates, policy_opt = self.policy_opt.update(
                 a_grads, ts.policy_opt)
             policy_params = optax.apply_updates(ts.params.policy, p_updates)
 
+            # logp is the per-shard masked mean; pmean it so the (scalar)
+            # temperature update is identical on every shard
+            logp = pmean(logp)
             al_loss, al_grads = jax.value_and_grad(self._alpha_loss)(
                 ts.params.log_alpha, logp)
             al_updates, alpha_opt = self.alpha_opt.update(
@@ -420,7 +443,7 @@ class RSACLearner:
                    if cfg.per_alpha > 0 else ts.priorities)
             ts = ts.replace(params=params, policy_opt=policy_opt,
                             q_opt=q_opt, alpha_opt=alpha_opt, priorities=pri)
-            return ts, {"q_loss": q_loss, "actor_loss": a_loss,
+            return ts, {"q_loss": pmean(q_loss), "actor_loss": pmean(a_loss),
                         "alpha": jnp.exp(log_alpha)}
 
         def collect_seq(ts, env_state, h, key):
@@ -438,7 +461,7 @@ class RSACLearner:
                 nh = nh * (1.0 - nstate.done[:, None])
                 if cfg.normalize_observations:
                     normalizer = running_statistics.update(
-                        normalizer, env_state.obs)
+                        normalizer, env_state.obs, axis_name=axis)
                 row = {
                     "obs": env_state.obs,
                     "action": action,
@@ -483,7 +506,7 @@ class RSACLearner:
 
                 ts, metrics = jax.lax.cond(
                     ts.buffer.size >= cfg.min_replay, do_grads, skip, ts)
-                metrics["mean_reward"] = jnp.mean(seq["reward"])
+                metrics["mean_reward"] = pmean(jnp.mean(seq["reward"]))
                 return (ts, env_state, h, key), metrics
 
             (ts, env_state, h, _), metrics = jax.lax.scan(
@@ -492,7 +515,53 @@ class RSACLearner:
             ts = ts.replace(epochs=ts.epochs + 1)
             return ts, env_state, h, jax.tree.map(jnp.mean, metrics)
 
-        return epoch
+        if self.mesh is None:
+            return epoch
+
+        # SPMD epoch: one shard_map over the 'data' axis. Env state, GRU
+        # hiddens, the replay buffer's env-column axis, and the PER table
+        # are sharded; params/opts/normalizer replicated. Each shard steps
+        # its own envs, inserts into its own buffer columns, samples its
+        # own sequences; the only collectives are the gradient/logp pmeans
+        # and the normalizer psum above — replay data never crosses ICI.
+        from jax.experimental.shard_map import shard_map
+
+        def epoch_sharded(ts, env_state, h, key):
+            # decorrelate shards: every shard gets its own key stream for
+            # action sampling and replay draws
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            return epoch(ts, env_state, h, key)
+
+        P = jax.sharding.PartitionSpec
+        ts_spec = self.state_spec()
+        dspec = P("data")
+        return shard_map(
+            epoch_sharded, mesh=self.mesh,
+            in_specs=(ts_spec, dspec, dspec, P()),
+            out_specs=(ts_spec, dspec, dspec, P()),
+            check_rep=False)
+
+    def state_spec(self):
+        """PartitionSpec pytree for RSACTrainingState: replay env-columns
+        and the PER table sharded on 'data', everything else replicated."""
+        P = jax.sharding.PartitionSpec
+        rep = P()
+        buf_spec = replay.ReplayState(
+            data={f: (P(None, "data") if f == "h0" else P(None, None, "data"))
+                  for f in ("obs", "action", "reward", "done", "truncation",
+                            "final_obs", "h0")},
+            insert_pos=rep, size=rep)
+        return RSACTrainingState(
+            params=rep, policy_opt=rep, q_opt=rep, alpha_opt=rep,
+            normalizer=rep, buffer=buf_spec, epochs=rep,
+            priorities=(P(None, "data") if self.cfg.per_alpha > 0 else ()))
+
+    def state_sharding(self):
+        """NamedSharding pytree mirroring state_spec for device_put."""
+        mk = lambda spec: jax.sharding.NamedSharding(self.mesh, spec)
+        return jax.tree.map(mk, self.state_spec(),
+                            is_leaf=lambda x: isinstance(
+                                x, jax.sharding.PartitionSpec))
 
     def make_inference_fn(self) -> Callable:
         """`h, action = inference_fn(params_tuple, h, obs, key)` — same
@@ -520,6 +589,7 @@ def train(
     env: Env,
     cfg: Optional[RSACConfig] = None,
     seed: int = 0,
+    mesh: Optional[jax.sharding.Mesh] = None,
     progress_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
     autoreset_mode: str = "naive",
     checkpoint_dir: Optional[str] = None,
@@ -534,7 +604,11 @@ def train(
     `checkpoint_every` env-steps and resumed from the latest step dir (the
     replay buffer is NOT checkpointed — see _ckpt_slice; resume re-warms it
     through min_replay, which is also the right semantic when a curriculum
-    changes the env between phases)."""
+    changes the env between phases).
+
+    With `mesh` (a ('data', 'model') Mesh), the epoch runs as one
+    shard_map: envs, replay columns, and PER table sharded on 'data',
+    learner replicated via gradient pmean — replay never crosses ICI."""
     from pobrax_tpu.envs import wrappers
     from pobrax_tpu.parallel import health
 
@@ -544,7 +618,7 @@ def train(
     wrapped = wrappers.VmapWrapper(wrapped, batch_size=cfg.num_envs)
     wrapped = wrappers.randomized_autoreset(wrapped, autoreset_mode)
 
-    learner = RSACLearner(wrapped, cfg)
+    learner = RSACLearner(wrapped, cfg, mesh=mesh)
     key = jax.random.PRNGKey(seed)
     key, k_init, k_reset = jax.random.split(key, 3)
     env_state = jax.jit(wrapped.reset)(jax.random.split(k_reset, cfg.num_envs))
@@ -561,6 +635,11 @@ def train(
                 * cfg.action_repeat)
             key = jax.random.fold_in(key, int(ts.epochs))
     h = learner.h0(cfg.num_envs)
+    if mesh is not None:
+        dsh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+        env_state = jax.device_put(env_state, dsh)
+        h = jax.device_put(h, dsh)
+        ts = jax.device_put(ts, learner.state_sharding())
     epoch_fn = jax.jit(learner.build_epoch_fn(), donate_argnums=(0,))
 
     steps_per_epoch = (cfg.seqs_per_epoch * cfg.seq_len * cfg.num_envs

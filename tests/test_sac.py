@@ -92,3 +92,26 @@ def test_sac_transition_next_obs_is_pre_reset():
         # pre-reset obs of Fast after 2 ±dt steps always has nonzero position
         # (a freshly reset obs would be exactly zero)
         assert np.all(np.abs(next_obs[s][:, 0]) > 0.0)
+
+
+def test_sac_mesh_sharded_training_replicates_params():
+    """shard_map SAC epoch: envs + replay columns sharded over the 8-device
+    'data' mesh, learner replicated via gradient pmean — params identical
+    on every device after training, losses finite."""
+    from pobrax_tpu.envs.fast import Fast
+    from pobrax_tpu.parallel import mesh as meshmod
+
+    mesh = meshmod.make_mesh()
+    hist = []
+    inf_fn, params, _ = sac.train(
+        Fast(), num_timesteps=1024, num_envs=16, episode_length=16,
+        replay_capacity=64, batch_size=16, steps_per_epoch=8, min_replay=2,
+        seed=0, mesh=mesh, progress_fn=lambda s, m: hist.append(m),
+        watchdog_deadline_s=None)
+    assert hist and np.isfinite(hist[-1]["q_loss"])
+    leaf = jax.tree.leaves(params[1])[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    act = inf_fn(params, jnp.zeros((3, 2)), jax.random.PRNGKey(0))
+    assert act.shape == (3, 1)

@@ -214,3 +214,75 @@ def test_nstep_targets_semantics():
     t3c = nstep_targets(r, nt2, v, g, 3)
     np.testing.assert_allclose(float(t3c[1, 0]), 2.0, rtol=1e-6)
     np.testing.assert_allclose(float(t3c[0, 0]), 1.0 + g * 2.0, rtol=1e-6)
+
+
+def test_mesh_sharded_training_runs_and_replicates():
+    """The shard_map epoch: envs/replay sharded over an 8-device 'data'
+    mesh, learner replicated. Checks (a) training runs and losses are
+    finite, (b) params/normalizer stay bit-identical across shards after
+    several epochs (the pmean contract), (c) the buffer's env-column axis
+    really is sharded, and (d) the PER variant runs too."""
+    from pobrax_tpu.parallel import mesh as meshmod
+
+    mesh = meshmod.make_mesh()
+    n_dev = mesh.shape["data"]
+    assert n_dev == 8  # conftest forces 8 virtual CPU devices
+
+    hist = []
+    inf, params_tuple, _ = sac_rnn.train(
+        InvertedPendulum(), _mini_cfg(num_envs=16, batch_size=16),
+        num_timesteps=16 * 2 * 8 * 3, seed=0, mesh=mesh,
+        progress_fn=lambda s, m: hist.append(m), watchdog_deadline_s=None)
+    assert len(hist) >= 2
+    for m in hist:
+        assert np.isfinite(m["q_loss"]) and np.isfinite(m["actor_loss"])
+
+    # replication contract: every device holds identical params
+    leaf = jax.tree.leaves(params_tuple[1])[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_mesh_buffer_column_axis_is_sharded():
+    """The replay storage is placed with its env-column axis split over
+    'data' (per-device slices, not replicas)."""
+    from pobrax_tpu.envs import wrappers
+    from pobrax_tpu.parallel import mesh as meshmod
+
+    mesh = meshmod.make_mesh()
+    cfg = _mini_cfg(num_envs=16, batch_size=16)
+    env = wrappers.RandomizedAutoResetWrapperNaive(wrappers.VmapWrapper(
+        wrappers.EpisodeWrapper(InvertedPendulum(), 32, 1), batch_size=16))
+    learner = sac_rnn.RSACLearner(env, cfg, mesh=mesh)
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(env.reset)(jax.random.split(key, 16))
+    ts = learner.init(key, state)
+    ts = jax.device_put(ts, learner.state_sharding())
+    obs_buf = ts.buffer.data["obs"]  # (capacity, L, B, obs)
+    shard_shapes = {s.data.shape for s in obs_buf.addressable_shards}
+    assert shard_shapes == {(cfg.replay_capacity, cfg.seq_len,
+                             16 // 8, obs_buf.shape[-1])}
+    # one sharded epoch executes
+    epoch = jax.jit(learner.build_epoch_fn())
+    h = jax.device_put(learner.h0(16),
+                       jax.sharding.NamedSharding(
+                           mesh, jax.sharding.PartitionSpec("data")))
+    state = jax.device_put(
+        state, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data")))
+    ts, state, h, metrics = epoch(ts, state, h, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["mean_reward"]))
+
+
+def test_mesh_per_prioritized_sharded_smoke():
+    from pobrax_tpu.parallel import mesh as meshmod
+
+    mesh = meshmod.make_mesh()
+    hist = []
+    sac_rnn.train(
+        InvertedPendulum(),
+        _mini_cfg(num_envs=16, batch_size=16, per_alpha=0.9, per_beta=0.4),
+        num_timesteps=16 * 2 * 8 * 3, seed=0, mesh=mesh,
+        progress_fn=lambda s, m: hist.append(m), watchdog_deadline_s=None)
+    assert hist and np.isfinite(hist[-1]["q_loss"])
