@@ -28,20 +28,31 @@ import jax
 import jax.numpy as jnp
 
 B = 4096          # rollout-like batch width
-T_CHAIN = 2000    # serial chain length (long enough to dwarf dispatch)
-MM = 512          # matmul size
-T_MM = 2000
+T_CHAIN = 10_000  # control steps in the chain scan
+CHAIN_OPS = 100   # dependent op-groups per step (~600 ops, a substep-like body)
+MM = 1024         # matmul size
+T_MM = 3_000      # MXU steps
+
+# Calibration note (measured on the v5e first): a scan whose body is a
+# HANDFUL of elementwise ops is ~free (25ns/step — the VPU runs 4096 lanes
+# in 4 cycles/op), so the per-substep cost in the physics program comes
+# from its ~10k-op body, not scan overhead. The chain below carries a
+# 600-op dependent body to be physics-like, and both workloads are sized
+# ~10x the ~27ms dispatch cost. The jitted fns return SCALARS and timing
+# fetches them: on the axon relay block_until_ready alone does not force
+# execution.
 
 
 def chain(x):
     def step(x, _):
-        # a handful of dependent elementwise ops, like one fused substep
-        y = x * 1.000001 + 0.5
-        y = jnp.where(y > 1.0, y - 1.0, y)
-        y = y * y - 0.25 * y
-        return jnp.tanh(y), ()
+        y = x
+        for _ in range(CHAIN_OPS):
+            y = y * 1.000001 + 0.5
+            y = jnp.where(y > 1.0, y - 1.0, y)
+            y = y * y - 0.25 * y
+        return y, ()
     out, _ = jax.lax.scan(step, x, None, length=T_CHAIN)
-    return out
+    return out.sum()
 
 
 def mm(w):
@@ -49,22 +60,27 @@ def mm(w):
         w = jnp.tanh(w @ w * 0.01)
         return w, ()
     out, _ = jax.lax.scan(step, w, None, length=T_MM)
-    return out
+    return out.sum()
 
 
 def both(x, w):
     return chain(x), mm(w)
 
 
-def timed(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
+def fetch(out):
+    return jax.tree.map(float, out)  # forces execution + result transfer
+
+
+def timed(fn, *args, reps=4):
+    # steady-state mean with the result VALUE fetched inside the window
+    # (see calibration note); first post-warmup rep dropped
+    fetch(fn(*args))
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+        fetch(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return sum(times[1:]) / (reps - 1)
 
 
 def main():
