@@ -162,7 +162,50 @@ def bench_rnn(env_name: str, devices, per_device_envs: int,
     return best
 
 
-_PROGRAMS = {"step": bench_step, "ppo": bench_ppo, "rnn": bench_rnn}
+def bench_sac_rnn(env_name: str, devices, per_device_envs: int,
+                  repeats: int = 3) -> float:
+    """One recurrent-SAC epoch as a shard_map over 'data': env batch, GRU
+    hiddens, and replay columns sharded (replay never crosses the mesh);
+    gradient pmean the only per-grad-step collective (training/sac_rnn.py)."""
+    from pobrax_tpu.envs import create
+    from pobrax_tpu.parallel import make_mesh, shard_batch
+    from pobrax_tpu.training import sac_rnn
+
+    n = len(devices)
+    num_envs = per_device_envs * n
+    mesh = make_mesh(devices=devices)
+    cfg = sac_rnn.RSACConfig(num_envs=num_envs, episode_length=1000,
+                             seq_len=32, burn_in=8, replay_capacity=64,
+                             batch_size=num_envs, seqs_per_epoch=4,
+                             grad_steps_per_seq=1, min_replay=1,
+                             encoder_sizes=(256,), hidden_size=128,
+                             head_sizes=(256,))
+    env = create(env_name, episode_length=cfg.episode_length,
+                 batch_size=num_envs, auto_reset=True,
+                 randomized_autoreset=True)
+    learner = sac_rnn.RSACLearner(env, cfg, mesh=mesh)
+    key = jax.random.PRNGKey(0)
+    env_state = shard_batch(
+        jax.jit(env.reset)(jax.random.split(key, num_envs)), mesh)
+    ts = jax.device_put(learner.init(key, env_state),
+                        learner.state_sharding())
+    h = shard_batch(learner.h0(num_envs), mesh)
+    epoch_fn = jax.jit(learner.build_epoch_fn())
+    ts, env_state, h, m = epoch_fn(ts, env_state, h, key)  # compile + warmup
+    jax.block_until_ready(m)
+    steps_per_epoch = cfg.seqs_per_epoch * cfg.seq_len * num_envs
+    best = 0.0
+    for i in range(repeats):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        ts, env_state, h, m = epoch_fn(ts, env_state, h, k)
+        jax.block_until_ready(m)
+        best = max(best, steps_per_epoch / (time.perf_counter() - t0))
+    return best
+
+
+_PROGRAMS = {"step": bench_step, "ppo": bench_ppo, "rnn": bench_rnn,
+             "sac_rnn": bench_sac_rnn}
 
 
 def main() -> None:

@@ -8,13 +8,18 @@ docs/LEARNING.md), resuming a shared checkpoint between phases
 (sac_rnn.train checkpoints params/opt/normalizer; the replay re-warms each
 phase, which is the right semantic when the env changes under the agent).
 
-A bounded 300M probe at radius 20 measured stochastic tag rate 0.141
-(7x random) with the shaped reward still climbing — phase 1 needs the
-full budget below.
+OUTCOME (round 4, measured — docs/LEARNING.md "Off-policy visibility
+narrowing FAILS"): phase 0 (radius 20) reaches 0.812 stoch tag rate and
+0.207 on the TRUE env, but every narrowing continuation COLLAPSES the
+true-env rate to ~random (0.020 / 0.074 / 0.047; direct 20->4 with lr
+1e-4: 0.016) — the critic's value surface over the visibility-gated
+observation channel goes off-distribution and the actor follows it down.
+The script and phase artifacts are kept as the record of that negative
+result; the on-policy curriculum remains the AntTag solve.
 
 Usage: python examples/train_ant_tag_sac_rnn.py PHASE [num_envs]
-  PHASE in {0, 1, 2} indexes CURRICULUM; rerun with the same checkpoint
-  dir to continue or advance phases across sessions.
+  PHASE indexes CURRICULUM; rerun with the same checkpoint dir to
+  continue or advance phases across sessions.
 """
 
 import json
