@@ -137,6 +137,13 @@ class RSACConfig:
     per_alpha: float = 0.0
     per_beta: float = 0.4
     per_eta: float = 0.9
+    # freeze the actor + temperature for the first N epochs of THIS run
+    # (counted from the resumed epoch counter): critic-only updates while
+    # the value surface re-adapts to a changed env — the standard
+    # off-policy fine-tune guard against the actor chasing an
+    # off-distribution critic (motivated by the measured curriculum
+    # collapse in docs/LEARNING.md)
+    actor_freeze_epochs: int = 0
     normalize_observations: bool = True
     encoder_sizes: Tuple[int, ...] = (128,)
     hidden_size: int = 64
@@ -369,7 +376,10 @@ class RSACLearner:
 
     # ---- the fused epoch -------------------------------------------------------
 
-    def build_epoch_fn(self) -> Callable:
+    def build_epoch_fn(self, freeze_until: int = 0) -> Callable:
+        """`freeze_until`: absolute epoch index before which the actor and
+        temperature are NOT updated (cfg.actor_freeze_epochs offset by the
+        resumed counter — train() computes it)."""
         cfg = self.cfg
         # under shard_map shapes are per-shard: each shard samples its own
         # envs' columns (communication-free — the buffer never leaves its
@@ -417,22 +427,38 @@ class RSACLearner:
             q_updates, q_opt = self.q_opt.update(q_grads, ts.q_opt)
             q_params = optax.apply_updates(ts.params.q, q_updates)
 
-            (a_loss, logp), a_grads = jax.value_and_grad(
-                self._actor_loss, has_aux=True)(
-                ts.params.policy, ts.params, ts.normalizer, seq, k3)
-            a_grads = pmean(a_grads)
-            p_updates, policy_opt = self.policy_opt.update(
-                a_grads, ts.policy_opt)
-            policy_params = optax.apply_updates(ts.params.policy, p_updates)
+            def do_actor(_):
+                (a_loss, logp), a_grads = jax.value_and_grad(
+                    self._actor_loss, has_aux=True)(
+                    ts.params.policy, ts.params, ts.normalizer, seq, k3)
+                a_grads = pmean(a_grads)
+                p_updates, policy_opt = self.policy_opt.update(
+                    a_grads, ts.policy_opt)
+                policy_params = optax.apply_updates(
+                    ts.params.policy, p_updates)
+                # logp is the per-shard masked mean; pmean it so the
+                # (scalar) temperature update is identical on every shard
+                logp = pmean(logp)
+                al_loss, al_grads = jax.value_and_grad(self._alpha_loss)(
+                    ts.params.log_alpha, logp)
+                al_updates, alpha_opt = self.alpha_opt.update(
+                    al_grads, ts.alpha_opt)
+                log_alpha = optax.apply_updates(
+                    ts.params.log_alpha, al_updates)
+                return (policy_params, policy_opt, log_alpha, alpha_opt,
+                        pmean(a_loss))
 
-            # logp is the per-shard masked mean; pmean it so the (scalar)
-            # temperature update is identical on every shard
-            logp = pmean(logp)
-            al_loss, al_grads = jax.value_and_grad(self._alpha_loss)(
-                ts.params.log_alpha, logp)
-            al_updates, alpha_opt = self.alpha_opt.update(
-                al_grads, ts.alpha_opt)
-            log_alpha = optax.apply_updates(ts.params.log_alpha, al_updates)
+            def skip_actor(_):
+                return (ts.params.policy, ts.policy_opt,
+                        ts.params.log_alpha, ts.alpha_opt, jnp.float32(0))
+
+            if freeze_until > 0:
+                (policy_params, policy_opt, log_alpha, alpha_opt,
+                 a_loss) = jax.lax.cond(
+                    ts.epochs >= freeze_until, do_actor, skip_actor, None)
+            else:
+                (policy_params, policy_opt, log_alpha, alpha_opt,
+                 a_loss) = do_actor(None)
 
             target_q = jax.tree.map(
                 lambda t, o: t * (1.0 - cfg.tau) + o * cfg.tau,
@@ -640,7 +666,12 @@ def train(
         env_state = jax.device_put(env_state, dsh)
         h = jax.device_put(h, dsh)
         ts = jax.device_put(ts, learner.state_sharding())
-    epoch_fn = jax.jit(learner.build_epoch_fn(), donate_argnums=(0,))
+    # actor freeze window is relative to THIS run: offset by the resumed
+    # epoch counter so a fine-tune resume freezes its FIRST N epochs
+    freeze_until = (int(ts.epochs) + cfg.actor_freeze_epochs
+                    if cfg.actor_freeze_epochs else 0)
+    epoch_fn = jax.jit(learner.build_epoch_fn(freeze_until),
+                       donate_argnums=(0,))
 
     steps_per_epoch = (cfg.seqs_per_epoch * cfg.seq_len * cfg.num_envs
                        * cfg.action_repeat)

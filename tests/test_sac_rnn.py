@@ -286,3 +286,35 @@ def test_mesh_per_prioritized_sharded_smoke():
         num_timesteps=16 * 2 * 8 * 3, seed=0, mesh=mesh,
         progress_fn=lambda s, m: hist.append(m), watchdog_deadline_s=None)
     assert hist and np.isfinite(hist[-1]["q_loss"])
+
+
+def test_actor_freeze_epochs_gates_policy_updates():
+    """actor_freeze_epochs: during the freeze window the policy params and
+    temperature are bit-frozen while the critic still updates; after the
+    window the actor moves."""
+    from pobrax_tpu.envs import wrappers
+
+    env = wrappers.RandomizedAutoResetWrapperNaive(wrappers.VmapWrapper(
+        wrappers.EpisodeWrapper(InvertedPendulum(), 32, 1), batch_size=4))
+    cfg = _mini_cfg(actor_freeze_epochs=2)
+    learner = sac_rnn.RSACLearner(env, cfg)
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(env.reset)(jax.random.split(key, 4))
+    ts = learner.init(key, state)
+    epoch = jax.jit(learner.build_epoch_fn(freeze_until=2))
+    h = learner.h0(4)
+
+    p0 = jax.tree.map(np.asarray, ts.params.policy)
+    q0 = jax.tree.map(np.asarray, ts.params.q)
+    for i in range(2):  # frozen epochs (ts.epochs = 0, 1)
+        ts, state, h, _ = epoch(ts, state, h, jax.random.PRNGKey(i))
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(ts.params.policy)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert float(ts.params.log_alpha) == 0.0
+    # the critic DID update during the freeze
+    assert any(not np.array_equal(a, np.asarray(b)) for a, b in
+               zip(jax.tree.leaves(q0), jax.tree.leaves(ts.params.q)))
+    # after the window the actor moves
+    ts, state, h, _ = epoch(ts, state, h, jax.random.PRNGKey(9))
+    assert any(not np.array_equal(a, np.asarray(b)) for a, b in
+               zip(jax.tree.leaves(p0), jax.tree.leaves(ts.params.policy)))
