@@ -1,0 +1,184 @@
+"""Recurrent PPO on AntGather — pushing the round-2 result toward a solve.
+
+AntGather (reference behavior: /root/reference/po_brax/envs/ant_gather.py)
+rewards +1 per apple and -1 per bomb, sensed only through the binned
+egocentric range sensor. The round-2 study (docs/learning_gather_rnn.json)
+showed nearest-apple progress shaping lifts apple collection 4x over
+random (4.87 vs 1.23) but bombs ALSO rise (2.68 vs 1.43) — the shaped
+policy moves more and blunders into bombs.
+
+Two measured defects of the round-2 shaping are fixed here:
+
+1. **The catch tax.** phi = -||ant - nearest_apple|| JUMPS the moment an
+   apple is caught (it teleports to the sky waiting area and the nearest
+   apple switches to a farther one), so the progress term fires a large
+   NEGATIVE spike exactly at the +1 reward — shaping punishes the act it
+   is meant to encourage. `ShapedAntGather` masks the potential delta on
+   any step where an object was caught (the true ±1 reward stands alone).
+2. **No bomb gradient.** The true -1 on a bomb is too sparse to shape
+   avoidance swerves. An optional repulsive potential
+   +bomb_coef * min(||ant - nearest_live_bomb||, cap) adds a local
+   push-away gradient (capped so open-field behavior is unaffected).
+
+Shaping uses the privileged full state at TRAINING time only (pure
+progress form, gamma=1 — measured rationale in train_ant_tag.py);
+evaluation reports apples/bombs per episode on the TRUE unshaped env.
+
+Usage: python examples/train_ant_gather_rnn.py [variant] [num_timesteps] [num_envs]
+  variant: "mask" (catch-mask only) | "bomb" (catch-mask + bomb repulsion)
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from pobrax_tpu.envs import HAI_ACTION_REPEAT, _envs  # noqa: E402
+from pobrax_tpu.envs import wrappers  # noqa: E402
+from pobrax_tpu.envs.base import Wrapper  # noqa: E402
+from pobrax_tpu.training import ppo_rnn  # noqa: E402
+
+
+class ShapedAntGather(Wrapper):
+    """TRAINING-TIME shaping: r' = r + coef*(phi' - phi) with the delta
+    MASKED on catch steps (see module doc).
+
+    phi = -d_apple + bomb_coef * min(d_bomb, bomb_cap), where d_* is the
+    3D distance to the nearest LIVE object (caught objects sit in the sky
+    waiting area, z = 12 — the z<5 test identifies live ones)."""
+
+    def __init__(self, env, coef=5.0, bomb_coef=0.0, bomb_cap=3.0):
+        super().__init__(env)
+        self.coef = coef
+        self.bomb_coef = bomb_coef
+        self.bomb_cap = bomb_cap
+
+    def _phi(self, qp):
+        u = self.unwrapped
+        torso = qp.pos[u.torso_idx]
+        obj = qp.pos[u.object_indices]
+        d = jnp.linalg.norm(torso - obj, axis=1)
+        live = obj[:, 2] < 5.0
+        d_apple = jnp.min(jnp.where(live[: u.n_apples], d[: u.n_apples], 1e6))
+        phi = -d_apple
+        if self.bomb_coef:
+            d_bomb = jnp.min(
+                jnp.where(live[u.n_apples:], d[u.n_apples:], 1e6))
+            phi = phi + self.bomb_coef * jnp.minimum(d_bomb, self.bomb_cap)
+        return phi
+
+    def step(self, state, action):
+        p0 = self._phi(state.qp)
+        nstate = self.env.step(state, action)
+        delta = self._phi(nstate.qp) - p0
+        caught = (nstate.metrics["apples"] + nstate.metrics["bombs"]) > 0
+        delta = jnp.where(caught, 0.0, delta)
+        return nstate.replace(reward=nstate.reward + self.coef * delta)
+
+
+def gather_eval(env_core, act_fn, episodes=256, episode_length=1000, seed=0,
+                action_repeat=1, hidden_size=0):
+    """Mean apples/bombs caught per episode on the TRUE env. `act_fn` is
+    either None (uniform random) or (params, inference_fn) from ppo_rnn."""
+    env = wrappers.ActionRepeatWrapper(env_core, action_repeat)
+    env = wrappers.EpisodeWrapper(env, episode_length, 1)
+    env = wrappers.VmapWrapper(env, batch_size=episodes)
+    asz = env_core.action_size
+
+    def run(key):
+        k_reset, k_act = jax.random.split(key)
+        state = env.reset(jax.random.split(k_reset, episodes))
+        h0 = jnp.zeros((episodes, hidden_size))
+
+        def body(carry, _):
+            state, h, alive, apples, bombs, key = carry
+            key, k = jax.random.split(key)
+            if act_fn is None:
+                act = jax.random.uniform(k, (episodes, asz), minval=-1.0,
+                                         maxval=1.0)
+            else:
+                params, inference_fn, deterministic = act_fn
+                h, act = inference_fn(params, h, state.obs, k,
+                                      deterministic=deterministic)
+            state = env.step(state, act)
+            apples = apples + alive * state.metrics["apples"]
+            bombs = bombs + alive * state.metrics["bombs"]
+            alive = alive * (1.0 - state.done)
+            return (state, h, alive, apples, bombs, key), None
+
+        z = jnp.zeros(episodes)
+        (_, _, _, apples, bombs, _), _ = jax.lax.scan(
+            body, (state, h0, jnp.ones(episodes), z, z, k_act),
+            None, length=episode_length)
+        return apples.mean(), bombs.mean()
+
+    a, b = jax.jit(run)(jax.random.PRNGKey(seed))
+    return float(a), float(b)
+
+
+def main(variant="bomb", num_timesteps=400_000_000, num_envs=2048,
+         out=None):
+    bomb_coef = 0.3 if variant == "bomb" else 0.0
+    ra, rb = gather_eval(_envs["ant_gather"](), None,
+                         action_repeat=HAI_ACTION_REPEAT)
+    print(f"random: apples {ra:.2f} bombs {rb:.2f} net {ra - rb:+.2f}",
+          flush=True)
+
+    history = []
+
+    def progress(steps, metrics):
+        history.append({"steps": steps,
+                        "mean_reward": metrics.get("mean_reward")})
+        if len(history) % 20 == 0:
+            print(f"  {steps:>12,} steps  mean_reward="
+                  f"{history[-1]['mean_reward']:+.4f}", flush=True)
+
+    hidden = 128
+    inference_fn, params, _ = ppo_rnn.train(
+        ShapedAntGather(_envs["ant_gather"](), coef=5.0,
+                        bomb_coef=bomb_coef),
+        num_timesteps=num_timesteps,
+        num_envs=num_envs,
+        episode_length=1000,
+        action_repeat=HAI_ACTION_REPEAT,
+        unroll_length=32,
+        num_minibatches=8,
+        num_update_epochs=4,
+        learning_rate=3e-4,
+        entropy_cost=3e-3,
+        discounting=0.97,
+        reward_scaling=1.0,
+        hidden_size=hidden,
+        encoder_sizes=(256,),
+        epochs_per_call=8,
+        autoreset_mode="cached",
+        seed=0,
+        progress_fn=progress,
+    )
+
+    results = {"random": {"apples": ra, "bombs": rb}}
+    for det in (True, False):
+        a, b = gather_eval(_envs["ant_gather"](),
+                           (params, inference_fn, det),
+                           action_repeat=HAI_ACTION_REPEAT,
+                           hidden_size=hidden)
+        results["det" if det else "stoch"] = {"apples": a, "bombs": b}
+        print(f"GRU ({'det' if det else 'stoch'}): apples {a:.2f} "
+              f"bombs {b:.2f} net {a - b:+.2f}", flush=True)
+
+    out = out or f"docs/learning_gather_rnn_{variant}.json"
+    with open(out, "w") as f:
+        json.dump({"variant": variant, "bomb_coef": bomb_coef,
+                   "num_timesteps": num_timesteps, "num_envs": num_envs,
+                   "hidden_size": hidden, "results": results,
+                   "curve": history[::10]}, f, indent=1)
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    variant = sys.argv[1] if len(sys.argv) > 1 else "bomb"
+    args = [int(a) for a in sys.argv[2:4]]
+    main(variant, *args)

@@ -171,7 +171,8 @@ def nstep_targets(r, not_terminal, v_boot, gamma: float, n: int):
 
 class RSACLearner:
     def __init__(self, env: Env, cfg: RSACConfig,
-                 mesh: Optional[jax.sharding.Mesh] = None):
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 carry_env: Optional[Env] = None, carry_envs: int = 0):
         if cfg.burn_in >= cfg.seq_len:
             raise ValueError("burn_in must be < seq_len")
         self.mesh = mesh
@@ -180,6 +181,25 @@ class RSACLearner:
         if cfg.num_envs % self.n_shards or cfg.batch_size % self.n_shards:
             raise ValueError("num_envs and batch_size must divide the mesh "
                              "'data' axis")
+        # curriculum replay carry-over: the first `carry_envs` env columns
+        # of every shard collect from `carry_env` (the PREVIOUS phase's
+        # env) instead of `env`, so the replay keeps a steady stream of
+        # on-old-distribution sequences anchoring the critic while the env
+        # changes under the agent (motivated by the measured curriculum
+        # collapse in docs/LEARNING.md — the narrowed radius zeroes an obs
+        # channel, the critic's value surface there goes stale, and the
+        # actor follows it down)
+        self.carry_env = carry_env
+        if carry_env is not None:
+            if not 0 < carry_envs < cfg.num_envs:
+                raise ValueError("carry_envs must be in (0, num_envs)")
+            if carry_envs % self.n_shards:
+                raise ValueError("carry_envs must divide the mesh 'data' "
+                                 "axis")
+            if (carry_env.observation_size != env.observation_size
+                    or carry_env.action_size != env.action_size):
+                raise ValueError("carry_env must match obs/action sizes")
+        self._carry_local = carry_envs // self.n_shards
         self.env = env
         self.cfg = cfg
         self.obs_size = env.observation_size
@@ -198,6 +218,21 @@ class RSACLearner:
 
     def h0(self, batch: int) -> jnp.ndarray:
         return jnp.zeros((batch, self.cfg.hidden_size))
+
+    def _step_envs(self, env_state: State, action: jnp.ndarray) -> State:
+        """One collection step; with a carry_env the batch splits into
+        [0:carry_local] stepped by the old-phase env and the rest by the
+        training env (per shard — train() lays the global batch out so
+        every shard's block starts with its carry columns)."""
+        if self.carry_env is None:
+            return self.env.step(env_state, action)
+        k = self._carry_local
+        s_old = jax.tree.map(lambda x: x[:k], env_state)
+        s_new = jax.tree.map(lambda x: x[k:], env_state)
+        n_old = self.carry_env.step(s_old, action[:k])
+        n_new = self.env.step(s_new, action[k:])
+        return jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), n_old, n_new)
 
     # ---- init -----------------------------------------------------------------
 
@@ -483,7 +518,7 @@ class RSACLearner:
                 nh, dp = self.actor.apply(ts.params.policy, h, obs_n)
                 pre = self.dist.sample_no_postprocess(dp, k_act)
                 action = self.dist.postprocess(pre)
-                nstate = self.env.step(env_state, action)
+                nstate = self._step_envs(env_state, action)
                 nh = nh * (1.0 - nstate.done[:, None])
                 if cfg.normalize_observations:
                     normalizer = running_statistics.update(
@@ -621,6 +656,8 @@ def train(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1_000_000,
     watchdog_deadline_s: Optional[float] = 1800.0,
+    carry_env: Optional[Env] = None,
+    carry_frac: float = 0.25,
     **cfg_overrides,
 ):
     """Train recurrent SAC on a core env; returns
@@ -629,8 +666,14 @@ def train(
     With `checkpoint_dir`, params/optimizers/normalizer are saved every
     `checkpoint_every` env-steps and resumed from the latest step dir (the
     replay buffer is NOT checkpointed — see _ckpt_slice; resume re-warms it
-    through min_replay, which is also the right semantic when a curriculum
-    changes the env between phases).
+    through min_replay).
+
+    With `carry_env` (a curriculum's PREVIOUS-phase env), a `carry_frac`
+    fraction of the env batch keeps collecting from it for the whole run:
+    the replay holds a steady stream of old-distribution sequences
+    anchoring the critic while the training env changes — the rehearsal
+    remedy for the measured off-policy curriculum collapse
+    (docs/LEARNING.md). Evaluation/inference are unaffected.
 
     With `mesh` (a ('data', 'model') Mesh), the epoch runs as one
     shard_map: envs, replay columns, and PER table sharded on 'data',
@@ -644,10 +687,45 @@ def train(
     wrapped = wrappers.VmapWrapper(wrapped, batch_size=cfg.num_envs)
     wrapped = wrappers.randomized_autoreset(wrapped, autoreset_mode)
 
-    learner = RSACLearner(wrapped, cfg, mesh=mesh)
+    n_shards = int(mesh.shape["data"]) if mesh is not None else 1
+    carry_envs = 0
+    carry_wrapped = None
+    if carry_env is not None:
+        # round the carry block to a whole number of per-shard columns
+        carry_envs = max(1, round(carry_frac * cfg.num_envs / n_shards)) \
+            * n_shards
+        carry_wrapped = wrappers.ActionRepeatWrapper(
+            carry_env, cfg.action_repeat)
+        carry_wrapped = wrappers.EpisodeWrapper(
+            carry_wrapped, cfg.episode_length, 1)
+        carry_wrapped = wrappers.VmapWrapper(
+            carry_wrapped, batch_size=carry_envs)
+        carry_wrapped = wrappers.randomized_autoreset(
+            carry_wrapped, autoreset_mode)
+
+    learner = RSACLearner(wrapped, cfg, mesh=mesh,
+                          carry_env=carry_wrapped, carry_envs=carry_envs)
     key = jax.random.PRNGKey(seed)
     key, k_init, k_reset = jax.random.split(key, 3)
-    env_state = jax.jit(wrapped.reset)(jax.random.split(k_reset, cfg.num_envs))
+    if carry_wrapped is None:
+        env_state = jax.jit(wrapped.reset)(
+            jax.random.split(k_reset, cfg.num_envs))
+    else:
+        # global batch layout: each shard's block is [carry | train]
+        # columns, matching _step_envs' per-shard split under shard_map
+        keys = jax.random.split(k_reset, cfg.num_envs)
+        s_old = jax.jit(carry_wrapped.reset)(keys[:carry_envs])
+        s_new = jax.jit(wrapped.reset)(keys[carry_envs:])
+        k_loc = carry_envs // n_shards
+        per = cfg.num_envs // n_shards
+
+        def interleave(a, b):
+            a = a.reshape((n_shards, k_loc) + a.shape[1:])
+            b = b.reshape((n_shards, per - k_loc) + b.shape[1:])
+            return jnp.concatenate([a, b], axis=1).reshape(
+                (cfg.num_envs,) + a.shape[2:])
+
+        env_state = jax.tree.map(interleave, s_old, s_new)
     ts = learner.init(k_init, env_state)
     resumed_steps = 0
     if checkpoint_dir is not None:

@@ -318,3 +318,76 @@ def test_actor_freeze_epochs_gates_policy_updates():
     ts, state, h, _ = epoch(ts, state, h, jax.random.PRNGKey(9))
     assert any(not np.array_equal(a, np.asarray(b)) for a, b in
                zip(jax.tree.leaves(p0), jax.tree.leaves(ts.params.policy)))
+
+
+class _ObsShift:
+    """Minimal core-env wrapper shifting observations by a constant —
+    makes two otherwise-identical envs distinguishable in replay."""
+
+    def __init__(self, env, shift):
+        self._env = env
+        self._shift = shift
+
+    def __getattr__(self, name):
+        return getattr(self._env, name)
+
+    def reset(self, rng):
+        state = self._env.reset(rng)
+        return state.replace(obs=state.obs + self._shift)
+
+    def step(self, state, action):
+        state = self._env.step(state, action)
+        return state.replace(obs=state.obs + self._shift)
+
+
+def _stack(core, batch):
+    from pobrax_tpu.envs import wrappers
+
+    return wrappers.RandomizedAutoResetWrapperNaive(wrappers.VmapWrapper(
+        wrappers.EpisodeWrapper(core, 32, 1), batch_size=batch))
+
+
+def test_carry_env_columns_collect_from_old_env():
+    """With carry_env set, the first carry_envs replay columns hold
+    old-env sequences and the rest hold training-env sequences."""
+    cfg = _mini_cfg()
+    env = _stack(InvertedPendulum(), 4)
+    carry = _stack(_ObsShift(InvertedPendulum(), 100.0), 2)
+    learner = sac_rnn.RSACLearner(env, cfg, carry_env=carry, carry_envs=2)
+    key = jax.random.PRNGKey(0)
+    s_old = jax.jit(carry.reset)(jax.random.split(key, 2))
+    s_new = jax.jit(env.reset)(jax.random.split(key, 2))
+    state = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), s_old, s_new)
+    ts = learner.init(key, state)
+    epoch = jax.jit(learner.build_epoch_fn())
+    ts, state, h, metrics = epoch(ts, state, learner.h0(4),
+                                  jax.random.PRNGKey(1))
+    obs = np.asarray(ts.buffer.data["obs"])  # (capacity, L, B, obs)
+    size = int(ts.buffer.size)
+    assert size >= 1
+    # shifted columns: every stored obs offset by ~100; plain columns small
+    assert np.abs(obs[:size, :, :2]).min() > 50.0
+    assert np.abs(obs[:size, :, 2:]).max() < 50.0
+    assert np.isfinite(float(metrics["mean_reward"]))
+
+
+def test_carry_env_train_smoke_and_mesh():
+    """train(carry_env=...) runs end-to-end, single-device and sharded."""
+    from pobrax_tpu.parallel import mesh as meshmod
+
+    hist = []
+    sac_rnn.train(
+        InvertedPendulum(), _mini_cfg(), num_timesteps=4 * 2 * 8 * 3,
+        seed=0, carry_env=_ObsShift(InvertedPendulum(), 100.0),
+        carry_frac=0.5, progress_fn=lambda s, m: hist.append(m),
+        watchdog_deadline_s=None)
+    assert hist and np.isfinite(hist[-1]["q_loss"])
+
+    mesh = meshmod.make_mesh()
+    hist = []
+    sac_rnn.train(
+        InvertedPendulum(), _mini_cfg(num_envs=16, batch_size=16),
+        num_timesteps=16 * 2 * 8 * 2, seed=0, mesh=mesh,
+        carry_env=_ObsShift(InvertedPendulum(), 100.0), carry_frac=0.5,
+        progress_fn=lambda s, m: hist.append(m), watchdog_deadline_s=None)
+    assert hist and np.isfinite(hist[-1]["q_loss"])
