@@ -195,3 +195,67 @@ class TestRegistry:
         expect = {"ant": 87, "ant_tag": 103, "ant_heavenhell": 114, "ant_gather": 211}
         for name, size in expect.items():
             assert envs.create(name).observation_size == size
+
+
+def test_shaped_ant_gather_catch_mask_and_live_potential():
+    """ShapedAntGather (examples/train_ant_gather_rnn.py): phi tracks the
+    nearest LIVE apple (caught objects in the sky waiting area are
+    excluded by the z<5 test), the bomb term is a capped repulsion, and
+    the potential delta is masked to exactly zero on catch steps (the
+    catch-tax fix measured in docs/learning_gather_rnn_mask.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    from examples.train_ant_gather_rnn import ShapedAntGather
+    from pobrax_tpu.envs.ant_gather import AntGatherEnv
+
+    env = ShapedAntGather(AntGatherEnv(), coef=1.0, bomb_coef=0.5,
+                          bomb_cap=3.0)
+    u = env.unwrapped
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+
+    # moving the nearest apple into the sky switches phi to the next one
+    qp = s.qp
+    d = jnp.linalg.norm(qp.pos[u.torso_idx] - qp.pos[u.object_indices],
+                        axis=1)
+    nearest = int(jnp.argmin(jnp.where(jnp.arange(u.n_objects) < u.n_apples,
+                                       d, 1e9)))
+    p_before = float(env._phi(qp))
+    sky = qp.pos[u.object_indices[nearest]] + jnp.array([0.0, 0.0, 12.0])
+    qp_sky = qp.replace(pos=qp.pos.at[u.object_indices[nearest]].set(sky))
+    p_after = float(env._phi(qp_sky))
+    assert p_after < p_before  # next-nearest live apple is farther
+
+    # catch step: shaped reward equals the TRUE reward exactly (delta
+    # masked), even though the potential jumped
+    a = jnp.zeros((env.action_size,))
+    ns_true = jax.jit(u.step)(s.replace(qp=qp_sky), a)
+    ns_shaped = jax.jit(env.step)(s.replace(qp=qp_sky), a)
+    if float(ns_shaped.metrics["apples"] + ns_shaped.metrics["bombs"]) > 0:
+        assert float(ns_shaped.reward) == float(ns_true.reward)
+
+    # force a catch: teleport the WHOLE ant (all 9 bodies — moving only
+    # the torso stretches the joints and the ant explodes away before the
+    # post-step distance check) onto a live apple, step, and check the
+    # shaped reward IS the true +1 (no shaping spike)
+    from pobrax_tpu.physics.ant import ANT_BODY_NAMES
+
+    tgt = qp.pos[u.object_indices[(nearest + 1) % u.n_apples]]
+    delta = tgt[:2] - qp.pos[u.torso_idx, :2]
+    n_ant = len(ANT_BODY_NAMES)
+    qp_on = qp.replace(pos=qp.pos.at[:n_ant, :2].add(delta))
+    s_on = s.replace(qp=qp_on)
+    ns = jax.jit(env.step)(s_on, a)
+    assert float(ns.metrics["apples"]) >= 1
+    ns_u = jax.jit(u.step)(s_on, a)
+    assert float(ns.reward) == float(ns_u.reward) == 1.0
+
+    # bomb repulsion is capped: far from every bomb, moving the ant
+    # (while staying > cap away) leaves the bomb term constant
+    phi_cap = env._phi(qp.replace(
+        pos=qp.pos.at[u.object_indices, 0].add(100.0)))
+    phi_cap2 = env._phi(qp.replace(
+        pos=qp.pos.at[u.object_indices, 0].add(200.0)))
+    # all objects far: apple term ~1e6-distance dominates equally; the
+    # check is just that phi stays finite and the step runs under jit
+    assert jnp.isfinite(phi_cap) and jnp.isfinite(phi_cap2)
