@@ -29,6 +29,7 @@ Usage: python examples/train_ant_gather_rnn.py [variant] [num_timesteps] [num_en
 """
 
 import json
+import os
 import sys
 
 import jax
@@ -149,7 +150,7 @@ def main(variant="bomb", num_timesteps=400_000_000, num_envs=2048,
         num_update_epochs=4,
         learning_rate=3e-4,
         entropy_cost=3e-3,
-        discounting=0.97,
+        discounting=float(os.environ.get("GATHER_GAMMA", "0.97")),
         reward_scaling=1.0,
         hidden_size=hidden,
         encoder_sizes=(256,),
@@ -172,6 +173,7 @@ def main(variant="bomb", num_timesteps=400_000_000, num_envs=2048,
     out = out or f"docs/learning_gather_rnn_{variant}.json"
     with open(out, "w") as f:
         json.dump({"variant": variant, "bomb_coef": bomb_coef,
+                   "gamma": float(os.environ.get("GATHER_GAMMA", "0.97")),
                    "num_timesteps": num_timesteps, "num_envs": num_envs,
                    "hidden_size": hidden, "results": results,
                    "curve": history[::10]}, f, indent=1)
