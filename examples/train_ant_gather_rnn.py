@@ -120,6 +120,65 @@ def gather_eval(env_core, act_fn, episodes=256, episode_length=1000, seed=0,
     return float(a), float(b)
 
 
+CURRICULUM = ((14.0, 400_000_000), (6.0, 800_000_000))
+
+
+def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
+    """Sensor-range curriculum, mirroring the recipe that SOLVED AntTag.
+
+    Measured motivation (tools/gather_ceiling.py + the trained-ant speed
+    probe): a trained ant covers ~121 m per 1000-step episode vs a 32.5 m
+    mean greedy tour over all 8 apples — the 5.38-apple plateau is NOT a
+    motion-budget limit. The binding constraint is PERCEPTION: once the
+    nearby apples are eaten, the survivors sit beyond the 6 m sensor
+    range and the agent must search. Phase 1 (sensor_range=14 — the whole
+    arena readable) makes full-field routing learnable; phase 2 narrows
+    to the true 6 m, forcing the search behavior on an already-competent
+    router. Both phases use the catch-mask shaping; eval is the TRUE env."""
+    import shutil
+    shutil.rmtree(checkpoint_dir, ignore_errors=True)
+    hidden = 128
+    history = []
+
+    def progress(steps, metrics):
+        history.append({"steps": steps,
+                        "mean_reward": metrics.get("mean_reward")})
+        if len(history) % 20 == 0:
+            print(f"  {steps:>12,} steps  mean_reward="
+                  f"{history[-1]['mean_reward']:+.4f}", flush=True)
+
+    common = dict(num_envs=num_envs, episode_length=1000,
+                  action_repeat=HAI_ACTION_REPEAT, unroll_length=32,
+                  num_minibatches=8, num_update_epochs=4, learning_rate=3e-4,
+                  entropy_cost=3e-3, discounting=0.97, reward_scaling=1.0,
+                  hidden_size=hidden, encoder_sizes=(256,),
+                  epochs_per_call=8, autoreset_mode="cached", seed=0,
+                  checkpoint_dir=checkpoint_dir,
+                  checkpoint_every=100_000_000, progress_fn=progress)
+    inference_fn = params = None
+    for srange, total in CURRICULUM:
+        inference_fn, params, _ = ppo_rnn.train(
+            ShapedAntGather(_envs["ant_gather"](sensor_range=srange),
+                            coef=5.0),
+            num_timesteps=total, **common)
+        print(f"curriculum phase done: sensor_range={srange}", flush=True)
+
+    results = {}
+    for det in (True, False):
+        a, b = gather_eval(_envs["ant_gather"](),
+                           (params, inference_fn, det),
+                           action_repeat=HAI_ACTION_REPEAT,
+                           hidden_size=hidden)
+        results["det" if det else "stoch"] = {"apples": a, "bombs": b}
+        print(f"GRU ({'det' if det else 'stoch'}): apples {a:.2f} "
+              f"bombs {b:.2f} net {a - b:+.2f}", flush=True)
+    with open("docs/learning_gather_rnn_curriculum.json", "w") as f:
+        json.dump({"curriculum": CURRICULUM, "num_envs": num_envs,
+                   "hidden_size": hidden, "results": results,
+                   "curve": history[::10]}, f, indent=1)
+    print("wrote docs/learning_gather_rnn_curriculum.json", flush=True)
+
+
 def main(variant="bomb", num_timesteps=400_000_000, num_envs=2048,
          out=None):
     bomb_coef = 0.3 if variant == "bomb" else 0.0
@@ -182,5 +241,7 @@ def main(variant="bomb", num_timesteps=400_000_000, num_envs=2048,
 
 if __name__ == "__main__":
     variant = sys.argv[1] if len(sys.argv) > 1 else "bomb"
-    args = [int(a) for a in sys.argv[2:4]]
-    main(variant, *args)
+    if variant == "curriculum":
+        main_curriculum(*[int(a) for a in sys.argv[2:3]])
+    else:
+        main(variant, *[int(a) for a in sys.argv[2:4]])
