@@ -155,11 +155,12 @@ def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
                   epochs_per_call=8, autoreset_mode="cached", seed=0,
                   checkpoint_dir=checkpoint_dir,
                   checkpoint_every=100_000_000, progress_fn=progress)
+    bomb_coef = float(os.environ.get("GATHER_BOMB_COEF", "0.0"))
     inference_fn = params = None
     for srange, total in CURRICULUM:
         inference_fn, params, _ = ppo_rnn.train(
             ShapedAntGather(_envs["ant_gather"](sensor_range=srange),
-                            coef=5.0),
+                            coef=5.0, bomb_coef=bomb_coef),
             num_timesteps=total, **common)
         print(f"curriculum phase done: sensor_range={srange}", flush=True)
 
@@ -172,11 +173,14 @@ def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
         results["det" if det else "stoch"] = {"apples": a, "bombs": b}
         print(f"GRU ({'det' if det else 'stoch'}): apples {a:.2f} "
               f"bombs {b:.2f} net {a - b:+.2f}", flush=True)
-    with open("docs/learning_gather_rnn_curriculum.json", "w") as f:
+    out = ("docs/learning_gather_rnn_curriculum.json" if bomb_coef == 0.0
+           else "docs/learning_gather_rnn_curriculum_bomb.json")
+    with open(out, "w") as f:
         json.dump({"curriculum": CURRICULUM, "num_envs": num_envs,
+                   "bomb_coef": bomb_coef,
                    "hidden_size": hidden, "results": results,
                    "curve": history[::10]}, f, indent=1)
-    print("wrote docs/learning_gather_rnn_curriculum.json", flush=True)
+    print(f"wrote {out}", flush=True)
 
 
 def main(variant="bomb", num_timesteps=400_000_000, num_envs=2048,
