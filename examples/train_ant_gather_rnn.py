@@ -120,7 +120,12 @@ def gather_eval(env_core, act_fn, episodes=256, episode_length=1000, seed=0,
     return float(a), float(b)
 
 
-CURRICULUM = ((14.0, 400_000_000), (6.0, 800_000_000))
+# (sensor_range, cumulative num_timesteps); override via GATHER_CURRICULUM,
+# e.g. "14:400,10:700,6:1200" (ranges in m, budgets in M steps, cumulative)
+CURRICULUM = tuple(
+    (float(p.split(":")[0]), int(p.split(":")[1]) * 1_000_000)
+    for p in os.environ.get(
+        "GATHER_CURRICULUM", "14:400,6:800").split(","))
 
 
 def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
@@ -173,8 +178,10 @@ def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
         results["det" if det else "stoch"] = {"apples": a, "bombs": b}
         print(f"GRU ({'det' if det else 'stoch'}): apples {a:.2f} "
               f"bombs {b:.2f} net {a - b:+.2f}", flush=True)
-    out = ("docs/learning_gather_rnn_curriculum.json" if bomb_coef == 0.0
-           else "docs/learning_gather_rnn_curriculum_bomb.json")
+    out = os.environ.get(
+        "GATHER_OUT",
+        "docs/learning_gather_rnn_curriculum.json" if bomb_coef == 0.0
+        else "docs/learning_gather_rnn_curriculum_bomb.json")
     with open(out, "w") as f:
         json.dump({"curriculum": CURRICULUM, "num_envs": num_envs,
                    "bomb_coef": bomb_coef,
