@@ -157,7 +157,8 @@ def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
                   num_minibatches=8, num_update_epochs=4, learning_rate=3e-4,
                   entropy_cost=3e-3, discounting=0.97, reward_scaling=1.0,
                   hidden_size=hidden, encoder_sizes=(256,),
-                  epochs_per_call=8, autoreset_mode="cached", seed=0,
+                  epochs_per_call=8, autoreset_mode="cached",
+                  seed=int(os.environ.get("GATHER_SEED", "0")),
                   checkpoint_dir=checkpoint_dir,
                   checkpoint_every=100_000_000, progress_fn=progress)
     bomb_coef = float(os.environ.get("GATHER_BOMB_COEF", "0.0"))
