@@ -128,6 +128,14 @@ CURRICULUM = tuple(
         "GATHER_CURRICULUM", "14:400,6:800").split(","))
 
 
+# GATHER_DEALIASED=1 runs the DIAGNOSTIC de-aliased sensor (bomb bins
+# offset by n_bins instead of n_apples — no apple/bomb aliasing; see
+# pobrax_tpu/envs/ant_gather.py) for BOTH training and eval, at matched
+# budget, to measure what the reference sensor's aliasing costs.
+DEALIASED = os.environ.get("GATHER_DEALIASED", "0") == "1"
+ENV_KW = {"bomb_bin_offset": 10} if DEALIASED else {}
+
+
 def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
     """Sensor-range curriculum, mirroring the recipe that SOLVED AntTag.
 
@@ -162,30 +170,36 @@ def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
                   checkpoint_dir=checkpoint_dir,
                   checkpoint_every=100_000_000, progress_fn=progress)
     bomb_coef = float(os.environ.get("GATHER_BOMB_COEF", "0.0"))
+    seed = int(os.environ.get("GATHER_SEED", "0"))
     inference_fn = params = None
     for srange, total in CURRICULUM:
         inference_fn, params, _ = ppo_rnn.train(
-            ShapedAntGather(_envs["ant_gather"](sensor_range=srange),
+            ShapedAntGather(_envs["ant_gather"](sensor_range=srange, **ENV_KW),
                             coef=5.0, bomb_coef=bomb_coef),
             num_timesteps=total, **common)
         print(f"curriculum phase done: sensor_range={srange}", flush=True)
 
     results = {}
     for det in (True, False):
-        a, b = gather_eval(_envs["ant_gather"](),
+        a, b = gather_eval(_envs["ant_gather"](**ENV_KW),
                            (params, inference_fn, det),
                            action_repeat=HAI_ACTION_REPEAT,
                            hidden_size=hidden)
         results["det" if det else "stoch"] = {"apples": a, "bombs": b}
         print(f"GRU ({'det' if det else 'stoch'}): apples {a:.2f} "
               f"bombs {b:.2f} net {a - b:+.2f}", flush=True)
-    out = os.environ.get(
-        "GATHER_OUT",
-        "docs/learning_gather_rnn_curriculum.json" if bomb_coef == 0.0
-        else "docs/learning_gather_rnn_curriculum_bomb.json")
+    # default output name encodes the variant + any non-zero seed so a
+    # robustness or diagnostic run never overwrites the canonical seed-0
+    # results file (advisor finding, round 4)
+    base = ("docs/learning_gather_rnn_curriculum"
+            + ("_dealiased" if DEALIASED else "")
+            + ("_bomb" if bomb_coef != 0.0 else "")
+            + (f"_seed{seed}" if seed != 0 else "") + ".json")
+    out = os.environ.get("GATHER_OUT", base)
     with open(out, "w") as f:
         json.dump({"curriculum": CURRICULUM, "num_envs": num_envs,
-                   "bomb_coef": bomb_coef,
+                   "bomb_coef": bomb_coef, "seed": seed,
+                   "dealiased_sensor": DEALIASED,
                    "hidden_size": hidden, "results": results,
                    "curve": history[::10]}, f, indent=1)
     print(f"wrote {out}", flush=True)

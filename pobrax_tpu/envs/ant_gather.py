@@ -71,6 +71,7 @@ class AntGatherEnv(Env):
         sensor_range: float = 6.0,
         sensor_span: float = float(np.pi),
         dying_cost: float = -10.0,
+        bomb_bin_offset: int | None = None,
         **kwargs,
     ):
         self.cage_xy = jnp.asarray(cage_xy, jnp.float32)
@@ -81,6 +82,13 @@ class AntGatherEnv(Env):
         self.n_bombs = n_bombs
         self.n_objects = n_apples + n_bombs
         self.n_bins = n_bins
+        # Reference quirk (:175): bomb readings land at bin + n_apples, so
+        # with the defaults (8 apples, 10 bins) bombs overlap apple bins
+        # 8-9 — an apple/bomb ALIASING baked into the sensor. The default
+        # (None -> n_apples) preserves it for parity; bomb_bin_offset=n_bins
+        # is the DIAGNOSTIC de-aliased sensor used to measure what the
+        # aliasing costs a trained agent (docs/LEARNING.md).
+        self.bomb_bin_offset = n_apples if bomb_bin_offset is None else int(bomb_bin_offset)
         self.dying_cost = dying_cost
         self.sensor_range = sensor_range
         self.half_span = sensor_span / 2
@@ -167,10 +175,19 @@ class AntGatherEnv(Env):
             ((angles + self.half_span) / bin_res).astype(jnp.int32),
             jnp.int32(-1),
         )
-        # bombs offset by n_apples, NOT n_bins — reference quirk (:175)
+        if self.bomb_bin_offset != self.n_apples:
+            # de-aliased diagnostic only: the reference bin formula yields
+            # n_bins (an 11th bin) at angle EXACTLY +half_span — a measure-
+            # zero bearing that would re-alias the layout (boundary apples
+            # at slot n_bins vs bomb bin 0). Merge it into the last bin.
+            object_bins = jnp.where(
+                object_bins >= 0,
+                jnp.minimum(object_bins, self.n_bins - 1), object_bins)
+        # bombs offset by n_apples, NOT n_bins — reference quirk (:175);
+        # bomb_bin_offset=n_bins gives the de-aliased diagnostic sensor
         bomb_bins = jnp.where(
             object_bins[self.n_apples:] >= 0,
-            object_bins[self.n_apples:] + self.n_apples,
+            object_bins[self.n_apples:] + self.bomb_bin_offset,
             -1,
         )
         object_bins = object_bins.at[jnp.arange(self.n_apples, self.n_objects)].set(bomb_bins)
@@ -181,12 +198,22 @@ class AntGatherEnv(Env):
         # than dynamic scatters — a dynamic .at[i].set per object serializes
         # on TPU; compare-and-select fuses into one VPU kernel.
         n_slots = self.n_bins * 2
-        slots = jnp.where(object_bins < 0, object_bins + n_slots, object_bins)
-        slot_ids = jnp.arange(n_slots)
-        readings = jnp.zeros(n_slots)
+        if self.bomb_bin_offset == self.n_apples:
+            # reference wrap: bin -1 -> last slot (writes a 0.0 there; with
+            # the aliased offset that slot never holds a real reading)
+            work_slots = n_slots
+        else:
+            # de-aliased sensor: bombs occupy bins n_bins..2*n_bins-1, so the
+            # -1 wrap WOULD erase a real last-bin bomb reading — route it to
+            # a trash slot instead (dropped below) to keep the diagnostic
+            # free of any aliasing
+            work_slots = n_slots + 1
+        slots = jnp.where(object_bins < 0, object_bins + work_slots, object_bins)
+        slot_ids = jnp.arange(work_slots)
+        readings = jnp.zeros(work_slots)
         for i in range(self.n_objects):
             readings = jnp.where(slot_ids == slots[i], object_intensities[i], readings)
-        return readings
+        return readings[:n_slots]
 
     def _get_obs(self, qp: QP, info: Info, distances: jnp.ndarray) -> jnp.ndarray:
         return jnp.concatenate(

@@ -194,11 +194,25 @@ class RSACLearner:
             if not 0 < carry_envs < cfg.num_envs:
                 raise ValueError("carry_envs must be in (0, num_envs)")
             if carry_envs % self.n_shards:
-                raise ValueError("carry_envs must divide the mesh 'data' "
-                                 "axis")
+                raise ValueError("the mesh 'data' axis size must divide "
+                                 "carry_envs")
             if (carry_env.observation_size != env.observation_size
                     or carry_env.action_size != env.action_size):
                 raise ValueError("carry_env must match obs/action sizes")
+            # _step_envs tree-concatenates the two envs' stepped states, so
+            # the State pytrees must match STRUCTURALLY too (same metrics/
+            # info keys — in practice: the same env class, e.g. two radii
+            # of the same task). Check at construction with abstract eval
+            # rather than failing with an opaque trace-time error later.
+            t_env = jax.tree_util.tree_structure(jax.eval_shape(
+                env.reset, jax.ShapeDtypeStruct((cfg.num_envs, 2), jnp.uint32)))
+            t_carry = jax.tree_util.tree_structure(jax.eval_shape(
+                carry_env.reset, jax.ShapeDtypeStruct((carry_envs, 2), jnp.uint32)))
+            if t_env != t_carry:
+                raise ValueError(
+                    "carry_env State pytree structure differs from env's "
+                    "(different metrics/info keys?) — carry_env must be the "
+                    f"same env class. env: {t_env}\ncarry_env: {t_carry}")
         self._carry_local = carry_envs // self.n_shards
         self.env = env
         self.cfg = cfg
@@ -690,7 +704,14 @@ def train(
     n_shards = int(mesh.shape["data"]) if mesh is not None else 1
     carry_envs = 0
     carry_wrapped = None
+    if carry_env is not None and carry_frac <= 0.0:
+        # carry_frac<=0 means "no carry" — drop the carry env entirely so a
+        # carry_frac=0 control run really is pure-env collection (advisor
+        # finding: the old rounding carried n_shards columns silently)
+        carry_env = None
     if carry_env is not None:
+        if not 0.0 < carry_frac < 1.0:
+            raise ValueError("carry_frac must be in (0, 1)")
         # round the carry block to a whole number of per-shard columns
         carry_envs = max(1, round(carry_frac * cfg.num_envs / n_shards)) \
             * n_shards

@@ -250,12 +250,81 @@ def test_shaped_ant_gather_catch_mask_and_live_potential():
     ns_u = jax.jit(u.step)(s_on, a)
     assert float(ns.reward) == float(ns_u.reward) == 1.0
 
-    # bomb repulsion is capped: far from every bomb, moving the ant
-    # (while staying > cap away) leaves the bomb term constant
-    phi_cap = env._phi(qp.replace(
-        pos=qp.pos.at[u.object_indices, 0].add(100.0)))
-    phi_cap2 = env._phi(qp.replace(
-        pos=qp.pos.at[u.object_indices, 0].add(200.0)))
-    # all objects far: apple term ~1e6-distance dominates equally; the
-    # check is just that phi stays finite and the step runs under jit
-    assert jnp.isfinite(phi_cap) and jnp.isfinite(phi_cap2)
+    # bomb repulsion is capped: with every bomb farther than bomb_cap the
+    # bomb term must be EXACTLY bomb_coef*cap regardless of distance —
+    # isolate it by subtracting the apple term computed independently
+    def apple_term(qp_):
+        obj = qp_.pos[u.object_indices]
+        dd = jnp.linalg.norm(qp_.pos[u.torso_idx] - obj, axis=1)
+        live = obj[:, 2] < 5.0
+        return -jnp.min(jnp.where(live[: u.n_apples], dd[: u.n_apples], 1e6))
+
+    for shift in (100.0, 200.0):
+        qp_far = qp.replace(pos=qp.pos.at[u.object_indices, 0].add(shift))
+        bomb_term = float(env._phi(qp_far)) - float(apple_term(qp_far))
+        assert abs(bomb_term - 0.5 * 3.0) < 1e-3, bomb_term
+
+
+def test_gather_dealiased_sensor():
+    """bomb_bin_offset=n_bins (the diagnostic sensor): bombs land in slots
+    n_bins..2*n_bins-1 — disjoint from apple slots 0..n_bins-1 — and the
+    out-of-range -1 wrap is routed to a dropped trash slot instead of
+    erasing the last bomb bin. Default env unchanged (reference quirk:
+    bombs offset by n_apples, /root/reference/po_brax/envs/ant_gather.py:175)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pobrax_tpu.envs.ant_gather import AntGatherEnv
+
+    ref = AntGatherEnv()
+    de = AntGatherEnv(bomb_bin_offset=10)
+    assert ref.bomb_bin_offset == 8 and de.bomb_bin_offset == 10
+    assert ref.observation_size == de.observation_size  # slot count fixed
+
+    s_ref = jax.jit(ref.reset)(jax.random.PRNGKey(3))
+    s_de = jax.jit(de.reset)(jax.random.PRNGKey(3))
+    # same scene (reset ignores the sensor offset): qp identical
+    assert jnp.allclose(s_ref.qp.pos, s_de.qp.pos)
+
+    # sweep a lone BOMB around the ant (all other objects out of range):
+    # whenever the reference sensor registers it (slot = bin + n_apples,
+    # overlapping apple slots 8-9 for bins 0-1), the de-aliased sensor
+    # must put the SAME intensity at slot = bin + n_bins, never below 10
+    import numpy as np
+
+    base = s_de.qp
+    far = jnp.array([100.0, 100.0, 0.0])
+    pos0 = base.pos
+    for i in range(de.n_objects):
+        pos0 = pos0.at[de.object_indices[i]].set(far)
+
+    get_de = jax.jit(de._get_readings)
+    get_ref = jax.jit(ref._get_readings)
+    seen = aliased = 0
+    for theta in np.linspace(0.0, 2 * np.pi, 12, endpoint=False):
+        bomb = pos0[de.torso_idx] + jnp.array(
+            [np.sin(theta), np.cos(theta), 0.0])
+        pos = pos0.at[de.object_indices[de.n_apples]].set(bomb)
+        qp = base.replace(pos=pos)
+        dist = jnp.linalg.norm(
+            qp.pos[de.torso_idx][:2] - qp.pos[de.object_indices][..., :2],
+            axis=1)
+        r_de = np.asarray(get_de(qp, dist))
+        r_ref = np.asarray(get_ref(qp, dist))
+        (nz_ref,) = np.nonzero(r_ref)
+        (nz_de,) = np.nonzero(r_de)
+        if len(nz_ref) == 0:
+            assert len(nz_de) == 0  # out of span for both
+            continue
+        seen += 1
+        assert len(nz_ref) == len(nz_de) == 1
+        s_ref_slot, s_de_slot = int(nz_ref[0]), int(nz_de[0])
+        assert s_de_slot >= de.n_bins  # never aliases an apple slot
+        # the reference's boundary bin n_bins (angle exactly +half_span) is
+        # merged into the last bin by the de-aliased sensor
+        ref_bin = s_ref_slot - de.n_apples
+        assert s_de_slot - de.n_bins == min(ref_bin, de.n_bins - 1)
+        assert np.isclose(r_de[s_de_slot], r_ref[s_ref_slot])
+        aliased += s_ref_slot < ref.n_bins  # landed in the overlap region
+    assert seen >= 3  # the sweep exercised in-span bearings
+    assert aliased >= 1  # ...including at least one aliased reference slot
