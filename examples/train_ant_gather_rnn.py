@@ -135,6 +135,25 @@ CURRICULUM = tuple(
 DEALIASED = os.environ.get("GATHER_DEALIASED", "0") == "1"
 ENV_KW = {"bomb_bin_offset": 10} if DEALIASED else {}
 
+# GATHER_NOVELTY=<beta> adds the count-based novelty bonus
+# (envs/exploration.py) around the shaped TRAINING env — the named
+# untried lever for the far-apple search tail (VERDICT-r4 #1b). The
+# half-life is time-local (~1 episode at repeat 6); eval stays TRUE env.
+NOVELTY_BETA = float(os.environ.get("GATHER_NOVELTY", "0.0"))
+
+
+def _training_env(core_env, bomb_coef):
+    env = ShapedAntGather(core_env, coef=5.0, bomb_coef=bomb_coef)
+    if NOVELTY_BETA > 0.0:
+        from pobrax_tpu.envs.exploration import GridNoveltyBonusWrapper
+        # half-life in CORE steps (the wrapper sits below ActionRepeat):
+        # one 1000-step episode at repeat 6 ~ 1000 core steps, so 500
+        # makes the novelty signal fade over about half an episode
+        env = GridNoveltyBonusWrapper(env, beta=NOVELTY_BETA,
+                                      half_extent=10.0, grid=16,
+                                      halflife_steps=500.0)
+    return env
+
 
 def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
     """Sensor-range curriculum, mirroring the recipe that SOLVED AntTag.
@@ -174,8 +193,8 @@ def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
     inference_fn = params = None
     for srange, total in CURRICULUM:
         inference_fn, params, _ = ppo_rnn.train(
-            ShapedAntGather(_envs["ant_gather"](sensor_range=srange, **ENV_KW),
-                            coef=5.0, bomb_coef=bomb_coef),
+            _training_env(_envs["ant_gather"](sensor_range=srange, **ENV_KW),
+                          bomb_coef),
             num_timesteps=total, **common)
         print(f"curriculum phase done: sensor_range={srange}", flush=True)
 
@@ -194,12 +213,14 @@ def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
     base = ("docs/learning_gather_rnn_curriculum"
             + ("_dealiased" if DEALIASED else "")
             + ("_bomb" if bomb_coef != 0.0 else "")
+            + ("_novelty" if NOVELTY_BETA > 0.0 else "")
             + (f"_seed{seed}" if seed != 0 else "") + ".json")
     out = os.environ.get("GATHER_OUT", base)
     with open(out, "w") as f:
         json.dump({"curriculum": CURRICULUM, "num_envs": num_envs,
                    "bomb_coef": bomb_coef, "seed": seed,
                    "dealiased_sensor": DEALIASED,
+                   "novelty_beta": NOVELTY_BETA,
                    "hidden_size": hidden, "results": results,
                    "curve": history[::10]}, f, indent=1)
     print(f"wrote {out}", flush=True)
