@@ -162,6 +162,23 @@ def main() -> None:
         "modes": results,
     }
 
+    # BENCH_BATCH_SWEEP=1: also record the batch-8192 secondary headline
+    # (measured +7% over 4096 in round 3, docs/PERFORMANCE.md roofline
+    # section; headline stays at 4096 for cross-round comparability).
+    # Extra widths via BENCH_SWEEP_BATCHES="8192,16384".
+    if int(os.environ.get("BENCH_BATCH_SWEEP", "0")):
+        os.environ["BENCH_AUTORESET"] = headline_mode
+        sweep = {}
+        for b in [int(x) for x in os.environ.get(
+                "BENCH_SWEEP_BATCHES", "8192").split(",")]:
+            if b == batch:
+                continue
+            v = bench(env_name, b, steps) / n_chips
+            sweep[str(b)] = {"value": round(v, 1),
+                             "per_env_speedup_vs_headline":
+                                 round(v / head["value"], 3)}
+        record["batch_sweep"] = sweep
+
     # BENCH_TRAIN=1: additionally measure steady-state TRAINING throughput
     # (full PPO epoch at the docs/PERFORMANCE.md recorded config). Opt-in —
     # it adds a multi-minute epoch compile on TPU; the standing record

@@ -17,6 +17,7 @@ the unshaped env, as for the other tasks (docs/LEARNING.md methodology).
 Usage: python examples/train_ant_maze_rnn.py [num_timesteps] [num_envs]
 """
 
+import os
 import json
 import sys
 
@@ -171,7 +172,7 @@ def main(num_timesteps=400_000_000, num_envs=2048,
         autoreset_mode="cached",
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=50_000_000,
-        seed=0,
+        seed=int(os.environ.get("MAZE_SEED", "0")),
         progress_fn=progress,
     )
 
@@ -184,11 +185,18 @@ def main(num_timesteps=400_000_000, num_envs=2048,
         print(f"GRU goal rate ({'det' if det else 'stoch'}): {r:.3f} "
               f"(random: {rand:.3f})", flush=True)
 
-    with open("docs/learning_ant_maze_rnn.json", "w") as f:
+    # seed-suffixed default so robustness reruns never clobber the
+    # canonical seed-0 record (same convention as the gather script)
+    seed = int(os.environ.get("MAZE_SEED", "0"))
+    out = os.environ.get(
+        "MAZE_OUT", "docs/learning_ant_maze_rnn"
+        + (f"_seed{seed}" if seed != 0 else "") + ".json")
+    with open(out, "w") as f:
         json.dump({"num_timesteps": num_timesteps, "num_envs": num_envs,
-                   "hidden_size": hidden, "random_goal_rate": rand,
+                   "hidden_size": hidden, "seed": seed,
+                   "random_goal_rate": rand,
                    "results": results, "curve": history[::10]}, f, indent=1)
-    print("wrote docs/learning_ant_maze_rnn.json", flush=True)
+    print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":

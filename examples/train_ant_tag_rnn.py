@@ -16,6 +16,7 @@ Usage:
 """
 
 import json
+import os
 import sys
 
 import jax
@@ -77,11 +78,12 @@ def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_tag_rnn_ckpt"):
     import shutil
     shutil.rmtree(checkpoint_dir, ignore_errors=True)
     hidden = 128
+    seed = int(os.environ.get("TAG_SEED", "0"))
     common = dict(num_envs=num_envs, episode_length=1000,
                   action_repeat=HAI_ACTION_REPEAT, unroll_length=32,
                   num_minibatches=8, num_update_epochs=4, learning_rate=3e-4,
                   entropy_cost=3e-3, discounting=0.97, reward_scaling=1.0,
-                  hidden_size=hidden, encoder_sizes=(256,), seed=0,
+                  hidden_size=hidden, encoder_sizes=(256,), seed=seed,
                   checkpoint_dir=checkpoint_dir,
                   checkpoint_every=50_000_000,
                   progress_fn=lambda s, m: None)
@@ -93,7 +95,21 @@ def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_tag_rnn_ckpt"):
         print(f"curriculum phase done: visible_radius={radius}", flush=True)
     det = tag_rate_rnn(_envs["ant_tag"](), inference_fn, params, hidden,
                        action_repeat=HAI_ACTION_REPEAT)
-    print(f"TRUE-env tag rate (det): {det:.3f}", flush=True)
+    stoch = tag_rate_rnn(_envs["ant_tag"](), inference_fn, params, hidden,
+                         action_repeat=HAI_ACTION_REPEAT, seed=1,
+                         deterministic=False)
+    print(f"TRUE-env tag rate: det {det:.3f} / stoch {stoch:.3f}", flush=True)
+    # seed-suffixed so robustness reruns never clobber the canonical
+    # seed-0 record (same convention as the gather curriculum script)
+    out = os.environ.get(
+        "TAG_OUT", "docs/learning_ant_tag_curriculum"
+        + (f"_seed{seed}" if seed != 0 else "") + ".json")
+    with open(out, "w") as f:
+        json.dump({"curriculum": CURRICULUM, "num_envs": num_envs,
+                   "seed": seed, "hidden_size": hidden,
+                   "true_tag_rate_det": det, "true_tag_rate_stoch": stoch},
+                  f, indent=1)
+    print(f"wrote {out}; final checkpoint under {checkpoint_dir}", flush=True)
     return det
 
 
