@@ -16,6 +16,7 @@ Usage: python examples/train_heavenhell_rnn.py [num_timesteps] [num_envs]
 """
 
 import json
+import os
 import sys
 
 import jax
@@ -83,6 +84,20 @@ def outcome_rates(env_core, act_fn, carry_init, episodes=256,
     return float(c), float(h)
 
 
+# HH_SUBSTEPS=8 validates the integrator fast preset (Env.retune_substeps,
+# docs/PERFORMANCE.md round 5) at matched learning budget: trains on the
+# retuned env, evaluates on BOTH the retuned and the TRUE substeps=10 env
+# (transfer check). Results go to a _substeps-suffixed json.
+SUBSTEPS = int(os.environ.get("HH_SUBSTEPS", "10"))
+
+
+def _hh(substeps=None):
+    env = _envs["ant_heavenhell"]()
+    if (substeps or SUBSTEPS) != 10:
+        env.retune_substeps(substeps or SUBSTEPS)
+    return env
+
+
 def main(num_timesteps=400_000_000, num_envs=2048):
     env = _envs["ant_heavenhell"]()
     rand_c, rand_h = outcome_rates(
@@ -105,7 +120,7 @@ def main(num_timesteps=400_000_000, num_envs=2048):
 
     hidden = 128
     inference_fn, params, _ = ppo_rnn.train(
-        ShapedHeavenHell(_envs["ant_heavenhell"](), coef=5.0),
+        ShapedHeavenHell(_hh(), coef=5.0),
         num_timesteps=num_timesteps,
         num_envs=num_envs,
         episode_length=1000,
@@ -124,12 +139,12 @@ def main(num_timesteps=400_000_000, num_envs=2048):
     )
 
     det_c, det_h = outcome_rates(
-        _envs["ant_heavenhell"](),
+        _hh(),
         lambda h, obs, k: inference_fn(params, h, obs, k, deterministic=True),
         carry_init=lambda n: jnp.zeros((n, hidden)),
         action_repeat=HAI_ACTION_REPEAT)
     sto_c, sto_h = outcome_rates(
-        _envs["ant_heavenhell"](),
+        _hh(),
         lambda h, obs, k: inference_fn(params, h, obs, k),
         carry_init=lambda n: jnp.zeros((n, hidden)),
         action_repeat=HAI_ACTION_REPEAT, seed=1)
@@ -138,13 +153,29 @@ def main(num_timesteps=400_000_000, num_envs=2048):
     print(f"GRU stoch: completion {sto_c:.3f}, heaven|completed {sto_h:.3f}",
           flush=True)
 
-    with open("docs/learning_heavenhell_rnn.json", "w") as f:
-        json.dump({"num_timesteps": num_timesteps, "num_envs": num_envs,
-                   "random": {"completion": rand_c, "heaven": rand_h},
-                   "gru_det": {"completion": det_c, "heaven": det_h},
-                   "gru_stoch": {"completion": sto_c, "heaven": sto_h},
-                   "curve": history}, f, indent=1)
-    print("wrote docs/learning_heavenhell_rnn.json", flush=True)
+    payload = {"num_timesteps": num_timesteps, "num_envs": num_envs,
+               "substeps": SUBSTEPS,
+               "random": {"completion": rand_c, "heaven": rand_h},
+               "gru_det": {"completion": det_c, "heaven": det_h},
+               "gru_stoch": {"completion": sto_c, "heaven": sto_h},
+               "curve": history}
+    if SUBSTEPS != 10:
+        # transfer: the retuned-env policy evaluated on TRUE physics
+        t_c, t_h = outcome_rates(
+            _hh(substeps=10),
+            lambda h, obs, k: inference_fn(params, h, obs, k,
+                                           deterministic=True),
+            carry_init=lambda n: jnp.zeros((n, hidden)),
+            action_repeat=HAI_ACTION_REPEAT)
+        payload["gru_det_on_true_substeps10"] = {"completion": t_c,
+                                                 "heaven": t_h}
+        print(f"GRU det on TRUE substeps=10 env: completion {t_c:.3f}, "
+              f"heaven|completed {t_h:.3f}", flush=True)
+    out = ("docs/learning_heavenhell_rnn.json" if SUBSTEPS == 10
+           else f"docs/learning_heavenhell_rnn_substeps{SUBSTEPS}.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":

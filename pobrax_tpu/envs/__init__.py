@@ -95,7 +95,13 @@ def create(
             "autoreset_mode='cached' requires auto_reset=True and "
             "randomized_autoreset=True — without them the mode is silently "
             "ignored and the run would NOT be in cached mode")
+    # substeps=N opts into the integrator retune (fast preset; see
+    # Env.retune_substeps — substeps=8 is the measured stability edge and
+    # buys +18% TPU step throughput; default 10 = reference parity)
+    substeps = kwargs.pop("substeps", None)
     env = _envs[env_name](**kwargs)
+    if substeps is not None:
+        env.retune_substeps(substeps)
     if action_repeat is not None:
         env = wrappers.ActionRepeatWrapper(env, action_repeat=action_repeat)
     if episode_length is not None:

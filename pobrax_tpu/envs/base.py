@@ -18,6 +18,7 @@ and documented per env where they were normalized).
 from __future__ import annotations
 
 import abc
+import dataclasses
 from typing import Any, Dict
 
 import jax
@@ -59,6 +60,22 @@ class Env(abc.ABC):
         /root/reference/po_brax/envs/wrappers.py:22-23). Rebuilds the System
         since configs are immutable here."""
         self._cfg = self._cfg.scale_time(action_repeat)
+        self.sys = System(self._cfg)
+
+    def retune_substeps(self, substeps: int) -> None:
+        """Opt-in integrator retune: same dt, fewer substeps (larger h_sub).
+
+        The measured stability edge of the semi-implicit spring integrator
+        on the ant bodies is h_sub = dt/8 = 0.00625 s (substeps 5/6/7 blow
+        up, 8 matches production rollout stats — tools/substeps_probe.py);
+        substeps=8 buys +18% fused-step throughput on TPU
+        (tools/bench_substeps.py, docs/PERFORMANCE.md round 5). The DEFAULT
+        stays 10: reference parity (tests/fixtures/ref_*.npz, golden
+        fixtures) pins the substeps=10 trajectory. Call before wrapping —
+        ActionRepeatWrapper's rescale_time then scales the retuned value."""
+        if substeps < 1:
+            raise ValueError(f"substeps must be >= 1, got {substeps}")
+        self._cfg = dataclasses.replace(self._cfg, substeps=substeps)
         self.sys = System(self._cfg)
 
     @property
