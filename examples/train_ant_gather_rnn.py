@@ -139,17 +139,27 @@ ENV_KW = {"bomb_bin_offset": 10} if DEALIASED else {}
 # (envs/exploration.py) around the shaped TRAINING env — the named
 # untried lever for the far-apple search tail (VERDICT-r4 #1b). The
 # half-life is time-local (~1 episode at repeat 6); eval stays TRUE env.
-NOVELTY_BETA = float(os.environ.get("GATHER_NOVELTY", "0.0"))
+# A comma list gives a PER-PHASE beta schedule (e.g. "0.25,0.25,0" with
+# a 3-phase curriculum: bonus drives search in phases 1-2, anneals to
+# zero in phase 3 so the policy consolidates bomb avoidance without the
+# reward inflation — the round-5 'search solved, bombs flat' follow-up).
+_NOVELTY = [float(b) for b in
+            os.environ.get("GATHER_NOVELTY", "0.0").split(",")]
 
 
-def _training_env(core_env, bomb_coef):
+def _novelty_beta(phase_idx):
+    return _NOVELTY[min(phase_idx, len(_NOVELTY) - 1)]
+
+
+def _training_env(core_env, bomb_coef, phase_idx=0):
     env = ShapedAntGather(core_env, coef=5.0, bomb_coef=bomb_coef)
-    if NOVELTY_BETA > 0.0:
+    beta = _novelty_beta(phase_idx)
+    if beta > 0.0:
         from pobrax_tpu.envs.exploration import GridNoveltyBonusWrapper
         # half-life in CORE steps (the wrapper sits below ActionRepeat):
         # one 1000-step episode at repeat 6 ~ 1000 core steps, so 500
         # makes the novelty signal fade over about half an episode
-        env = GridNoveltyBonusWrapper(env, beta=NOVELTY_BETA,
+        env = GridNoveltyBonusWrapper(env, beta=beta,
                                       half_extent=10.0, grid=16,
                                       halflife_steps=500.0)
     return env
@@ -191,10 +201,10 @@ def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
     bomb_coef = float(os.environ.get("GATHER_BOMB_COEF", "0.0"))
     seed = int(os.environ.get("GATHER_SEED", "0"))
     inference_fn = params = None
-    for srange, total in CURRICULUM:
+    for phase_idx, (srange, total) in enumerate(CURRICULUM):
         inference_fn, params, _ = ppo_rnn.train(
             _training_env(_envs["ant_gather"](sensor_range=srange, **ENV_KW),
-                          bomb_coef),
+                          bomb_coef, phase_idx),
             num_timesteps=total, **common)
         print(f"curriculum phase done: sensor_range={srange}", flush=True)
 
@@ -213,14 +223,16 @@ def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
     base = ("docs/learning_gather_rnn_curriculum"
             + ("_dealiased" if DEALIASED else "")
             + ("_bomb" if bomb_coef != 0.0 else "")
-            + ("_novelty" if NOVELTY_BETA > 0.0 else "")
+            + ("_novelty" if max(_NOVELTY) > 0.0 else "")
+            + ("_anneal" if max(_NOVELTY) > 0.0 and len(_NOVELTY) > 1
+               and _NOVELTY[-1] == 0.0 else "")
             + (f"_seed{seed}" if seed != 0 else "") + ".json")
     out = os.environ.get("GATHER_OUT", base)
     with open(out, "w") as f:
         json.dump({"curriculum": CURRICULUM, "num_envs": num_envs,
                    "bomb_coef": bomb_coef, "seed": seed,
                    "dealiased_sensor": DEALIASED,
-                   "novelty_beta": NOVELTY_BETA,
+                   "novelty_beta": _NOVELTY,
                    "hidden_size": hidden, "results": results,
                    "curve": history[::10]}, f, indent=1)
     print(f"wrote {out}", flush=True)
