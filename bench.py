@@ -38,9 +38,16 @@ def bench(env_name: str = "ant_tag", batch: int = 4096, steps: int = 200,
     # fully on device so it survives jit; 'naive' = resample EVERY step
     # (reference wrappers.py:30-52), which costs ~31% of the fused step.
     # Both numbers are recorded in docs/PERFORMANCE.md.
+    # BENCH_SUBSTEPS=8 benches the opt-in integrator fast preset
+    # (Env.retune_substeps — +16-23% across the suite, stability-probed;
+    # docs/PERFORMANCE.md round 5). Default: production substeps=10.
+    extra = {}
+    if os.environ.get("BENCH_SUBSTEPS"):
+        extra["substeps"] = int(os.environ["BENCH_SUBSTEPS"])
     env = create(env_name, episode_length=1000, batch_size=batch,
                  auto_reset=True, randomized_autoreset=True,
-                 autoreset_mode=os.environ.get("BENCH_AUTORESET", "cached"))
+                 autoreset_mode=os.environ.get("BENCH_AUTORESET", "cached"),
+                 **extra)
     if hidden is not None:
         env = MaskedObservationWrapper(env, env_name=env_name, hidden=hidden)
     action_size = env.action_size
