@@ -42,7 +42,7 @@ def bench(env_name: str = "ant_tag", batch: int = 4096, steps: int = 200,
     # (Env.retune_substeps — +16-23% across the suite, stability-probed;
     # docs/PERFORMANCE.md round 5). Default: production substeps=10.
     extra = {}
-    if os.environ.get("BENCH_SUBSTEPS"):
+    if int(os.environ.get("BENCH_SUBSTEPS", "0")):  # 0/unset = default 10
         extra["substeps"] = int(os.environ["BENCH_SUBSTEPS"])
     env = create(env_name, episode_length=1000, batch_size=batch,
                  auto_reset=True, randomized_autoreset=True,

@@ -75,6 +75,15 @@ class Env(abc.ABC):
         ActionRepeatWrapper's rescale_time then scales the retuned value."""
         if substeps < 1:
             raise ValueError(f"substeps must be >= 1, got {substeps}")
+        if self.unwrapped is not self:
+            # guard BEFORE mutating: assigning to self.sys on a Wrapper
+            # raises (read-only property) and would otherwise leave a
+            # stale shadow _cfg on the wrapper while physics runs the old
+            # substeps
+            raise TypeError(
+                "retune_substeps must be called on the core env before "
+                "wrapping (use env.unwrapped.retune_substeps(...) or "
+                "create(..., substeps=N))")
         self._cfg = dataclasses.replace(self._cfg, substeps=substeps)
         self.sys = System(self._cfg)
 

@@ -67,15 +67,16 @@ def test_substeps8_rollout_stable():
 def test_fused_generic_agree_at_substeps8():
     """The fused scalar-unrolled path and the generic vectorized path
     follow cfg.substeps identically — cross-validate at the retuned
-    value (they unroll/scan the same count)."""
+    value. POBRAX_FUSED must be set BEFORE the System is (re)built:
+    System reads it once at construction (physics/system.py:80)."""
     import os
-    env = _envs["ant"]()
-    env.retune_substeps(8)
-    qp = env.sys.default_qp()
-    act = jnp.full((env.action_size,), 0.3)
-
     os.environ["POBRAX_FUSED"] = "1"
     try:
+        env = _envs["ant"]()
+        env.retune_substeps(8)
+        assert env.sys._fused_step is not None  # fused path really armed
+        qp = env.sys.default_qp()
+        act = jnp.full((env.action_size,), 0.3)
         qp_f = qp
         for _ in range(5):
             qp_f, _ = env.sys.step(qp_f, act)

@@ -38,6 +38,10 @@ def bench_train(env_name: str = "ant_tag", batch: int = 4096,
         network_dtype=dtype, flatten_optimizer=flatten,
         epochs_per_call=epochs_per_call)
     env = _envs[env_name]()
+    # TRAIN_SUBSTEPS=8: integrator fast preset (docs/PERFORMANCE.md r5)
+    ss = int(os.environ.get("TRAIN_SUBSTEPS", "0"))
+    if ss:
+        env.retune_substeps(ss)
     wrapped = wrappers.ActionRepeatWrapper(env, cfg.action_repeat)
     wrapped = wrappers.EpisodeWrapper(wrapped, cfg.episode_length, 1)
     wrapped = wrappers.VmapWrapper(wrapped, batch_size=batch)

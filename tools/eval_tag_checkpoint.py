@@ -36,8 +36,7 @@ def main(ckpt_dir="checkpoints/ant_tag_rnn_900M"):
                                hidden_size=HIDDEN, encoder_sizes=(256,))
     learner = ppo_rnn.RNNPPOLearner(env, cfg)
     ts = learner.init(jax.random.PRNGKey(0))
-    path = ckpt_dir if ckpt.latest_step_dir(ckpt_dir) is None \
-        else ckpt.latest_step_dir(ckpt_dir)
+    path = ckpt.latest_step_dir(ckpt_dir) or ckpt_dir
     ts = ckpt.restore(path, template=ts)
     inference_fn = learner.make_inference_fn()
     params_tuple = (ts.normalizer, ts.params)
