@@ -151,17 +151,24 @@ def _novelty_beta(phase_idx):
     return _NOVELTY[min(phase_idx, len(_NOVELTY) - 1)]
 
 
+# GATHER_BOMB_MEMORY=<p>: per-step penalty for standing in a cell where
+# a bomb was hit earlier this episode (the wrapper's danger grid) — the
+# 'remembered danger' lever from the apple-bomb-frontier diagnosis.
+BOMB_MEMORY = float(os.environ.get("GATHER_BOMB_MEMORY", "0.0"))
+
+
 def _training_env(core_env, bomb_coef, phase_idx=0):
     env = ShapedAntGather(core_env, coef=5.0, bomb_coef=bomb_coef)
     beta = _novelty_beta(phase_idx)
-    if beta > 0.0:
+    if beta > 0.0 or BOMB_MEMORY > 0.0:
         from pobrax_tpu.envs.exploration import GridNoveltyBonusWrapper
         # half-life in CORE steps (the wrapper sits below ActionRepeat):
         # one 1000-step episode at repeat 6 ~ 1000 core steps, so 500
         # makes the novelty signal fade over about half an episode
         env = GridNoveltyBonusWrapper(env, beta=beta,
                                       half_extent=10.0, grid=16,
-                                      halflife_steps=500.0)
+                                      halflife_steps=500.0,
+                                      bomb_memory=BOMB_MEMORY)
     return env
 
 
@@ -226,6 +233,7 @@ def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
             + ("_novelty" if max(_NOVELTY) > 0.0 else "")
             + ("_anneal" if max(_NOVELTY) > 0.0 and len(_NOVELTY) > 1
                and _NOVELTY[-1] == 0.0 else "")
+            + ("_bombmem" if BOMB_MEMORY > 0.0 else "")
             + (f"_seed{seed}" if seed != 0 else "") + ".json")
     out = os.environ.get("GATHER_OUT", base)
     with open(out, "w") as f:
@@ -233,6 +241,7 @@ def main_curriculum(num_envs=2048, checkpoint_dir="/tmp/ant_gather_rnn_ckpt"):
                    "bomb_coef": bomb_coef, "seed": seed,
                    "dealiased_sensor": DEALIASED,
                    "novelty_beta": _NOVELTY,
+                   "bomb_memory": BOMB_MEMORY,
                    "hidden_size": hidden, "results": results,
                    "curve": history[::10]}, f, indent=1)
     print(f"wrote {out}", flush=True)

@@ -36,6 +36,17 @@ from pobrax_tpu.envs.base import State, Wrapper
 class GridNoveltyBonusWrapper(Wrapper):
     """r' = r + beta / sqrt(N(cell(torso_xy))) with decayed visit counts.
 
+    With `bomb_memory > 0` the wrapper also maintains a DANGER grid: on
+    any step where the wrapped env's `metrics['bombs']` indicator fires,
+    the current cell is marked; afterwards, standing in a marked cell
+    costs `bomb_memory` per step (no decay — bombs are static within an
+    episode, and the danger field carrying across an autoreset boundary
+    only marks cells that USED to hold a bomb, a mild prior). This is the
+    'remembered danger' lever from the round-5 apple-bomb-frontier
+    diagnosis (docs/LEARNING.md): the 6 m sensor forgets bombs it leaves
+    behind; the field re-supplies that memory at TRAINING time so the
+    policy can learn routes that do not re-cross known bombs.
+
     Args:
       env: core (unbatched) env exposing `torso_idx` (or pass torso_idx).
       beta: bonus scale; 0 disables (wrapper becomes pass-through shaping).
@@ -43,15 +54,20 @@ class GridNoveltyBonusWrapper(Wrapper):
       grid: cells per side.
       halflife_steps: visit-count half-life in env steps (decay
         = 0.5 ** (1/halflife)); None/inf keeps counts forever.
+      bomb_memory: per-step penalty for occupying a cell where a bomb
+        was previously hit; 0 disables the danger grid entirely.
     """
 
     def __init__(self, env, beta: float = 0.25, half_extent: float = 10.0,
                  grid: int = 16, halflife_steps: float | None = 500.0,
-                 torso_idx: int | None = None):
+                 torso_idx: int | None = None, bomb_memory: float = 0.0):
         super().__init__(env)
         if beta < 0:
             raise ValueError("beta must be >= 0")
+        if bomb_memory < 0:
+            raise ValueError("bomb_memory must be >= 0")
         self.beta = float(beta)
+        self.bomb_memory = float(bomb_memory)
         self.half_extent = float(half_extent)
         self.grid = int(grid)
         self.cell = 2.0 * self.half_extent / self.grid
@@ -73,7 +89,11 @@ class GridNoveltyBonusWrapper(Wrapper):
     def reset(self, rng: jnp.ndarray) -> State:
         state = self.env.reset(rng)
         counts = jnp.zeros((self.grid, self.grid), jnp.float32)
-        return state.replace(info={**state.info, "visit_counts": counts})
+        info = {**state.info, "visit_counts": counts}
+        if self.bomb_memory > 0.0:
+            info["bomb_cells"] = jnp.zeros((self.grid, self.grid),
+                                           jnp.float32)
+        return state.replace(info=info)
 
     def step(self, state: State, action: jnp.ndarray) -> State:
         nstate = self.env.step(state, action)
@@ -82,6 +102,17 @@ class GridNoveltyBonusWrapper(Wrapper):
         counts = state.info["visit_counts"] * self.decay + onehot
         n_here = jnp.sum(counts * onehot)  # masked sum, not a gather
         bonus = self.beta / jnp.sqrt(jnp.maximum(n_here, 1.0))
+        info = {**nstate.info, "visit_counts": counts}
+        if self.bomb_memory > 0.0:
+            # metrics['bombs'] is the wrapped env's per-step bomb-hit
+            # indicator (ant_gather semantics); mark-at-cell is a one-hot
+            # multiply-add, occupancy check a masked sum — no scatters
+            hit = nstate.metrics.get("bombs", jnp.zeros(()))
+            bomb_cells = jnp.maximum(state.info["bomb_cells"],
+                                     onehot * jnp.minimum(hit, 1.0))
+            in_danger = jnp.sum(bomb_cells * onehot)
+            bonus = bonus - self.bomb_memory * jnp.minimum(in_danger, 1.0)
+            info["bomb_cells"] = bomb_cells
         return nstate.replace(
             reward=nstate.reward + bonus,
-            info={**nstate.info, "visit_counts": counts})
+            info=info)

@@ -66,3 +66,29 @@ def test_vmaps_under_training_stack():
     sums = np.asarray(jnp.sum(state.info["visit_counts"], axis=(1, 2)))
     np.testing.assert_allclose(sums, 1.0, rtol=1e-6)
     assert np.all(np.isfinite(np.asarray(state.reward)))
+
+
+def test_bomb_memory_danger_grid():
+    """bomb_memory: a bomb hit marks the current cell; standing in a
+    marked cell costs bomb_memory per step; unmarked cells don't."""
+    env = GridNoveltyBonusWrapper(_envs["ant_gather"](), beta=0.0,
+                                  bomb_memory=0.5, halflife_steps=None)
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert state.info["bomb_cells"].shape == (16, 16)
+    act = jnp.zeros(env.action_size)
+    step = jax.jit(env.step)
+    s1 = step(state, act)
+    inner1 = env.env.step(state, act)
+    hit1 = float(jnp.minimum(inner1.metrics["bombs"], 1.0))
+    # bonus is -0.5 only if this step both marked AND occupies the cell
+    np.testing.assert_allclose(float(s1.reward - inner1.reward),
+                               -0.5 * hit1, atol=1e-6)
+    # no bomb hit => no cells marked; with a forced mark, penalty applies
+    forced = s1.replace(info={**s1.info,
+                              "bomb_cells": jnp.ones((16, 16), jnp.float32)})
+    s2 = step(forced, act)
+    inner2 = env.env.step(forced, act)
+    np.testing.assert_allclose(float(s2.reward - inner2.reward), -0.5,
+                               atol=1e-6)
+    # beta=0, bomb_memory>0 still threads both grids through the scan
+    assert "visit_counts" in s2.info and "bomb_cells" in s2.info
